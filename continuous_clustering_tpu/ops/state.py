@@ -1,0 +1,179 @@
+"""Device-resident ring-buffer state.
+
+The reference's central data structure is a ring buffer of 40-field AoS
+``Point`` structs (``clustering/continuous_clustering.hpp:126-161``, allocated
+``src/clustering/continuous_clustering.cpp:27``).  On TPU we keep the same
+information as a structure-of-arrays: one ``(num_rows, ring_columns)`` array
+per field, which XLA tiles onto the VPU lanes (columns last = lane dimension).
+
+Unbounded quantities are handled as:
+
+* global column indices — absolute ``int32`` (wraps after ~2^31 columns,
+  ~35 hours at VLS-128 rates; a rebase op exists for longer runs),
+* continuous azimuth — ``float32`` *relative to a host-managed origin*
+  (an integer number of rotations).  f32 azimuth precision degrades past
+  ~8k radians, so the pipeline rebases the state every few hundred
+  rotations (``rebase_azimuth``).  The reference instead uses ``double``
+  (``continuous_azimuth_angle``, hpp:135); the relative-f32 scheme keeps
+  comparisons exact to <1e-5 rad inside the live window.
+* timestamps / unique point indices — pairs of ``uint32`` (lo, hi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+
+I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RingState:
+    # geometry (stage A writes, stage E clears)
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    distance: jax.Array       # f32, NaN = empty cell
+    azimuth: jax.Array        # f32 sensor-frame azimuth
+    inclination: jax.Array    # f32 (supplemented for NaN cells by stage B)
+    cont_az: jax.Array        # f32, relative to origin_rot rotations
+    gcol: jax.Array           # i32 global column index, -1 = empty
+    stamp_lo: jax.Array       # u32
+    stamp_hi: jax.Array       # u32
+    uidx_lo: jax.Array        # u32 (0xFFFFFFFF = none)
+    uidx_hi: jax.Array        # u32
+    intensity: jax.Array      # i32
+    firing_index: jax.Array   # i32
+
+    # stage B outputs
+    ground_label: jax.Array   # i32 (GP_*)
+    debug_label: jax.Array    # i32 (DBG_*)
+    is_ignored: jax.Array     # bool
+
+    # stage C/D state
+    parent: jax.Array         # i32 linear cell id (r * ring_cols + lc), -1 = none
+    finish_az: jax.Array      # f32: cont_az + max_angle_diff of this point
+    frozen: jax.Array         # bool: belongs to a finished cluster
+    cluster_id: jax.Array     # i32, 0 = none
+
+    # scalar pipeline state (all shape ())
+    prev_rearmost: jax.Array       # i32
+    prev_foremost: jax.Array       # i32
+    first_unfinished: jax.Array    # i32 (-1 before first firing)
+    ring_start: jax.Array          # i32
+    ring_end: jax.Array            # i32
+    first_unpublished: jax.Array   # i32
+    cluster_counter: jax.Array     # i32
+    origin_rot: jax.Array          # i32: azimuth origin in whole rotations
+    reset_required: jax.Array      # bool
+    overflow: jax.Array            # bool: ring buffer overflow detected
+
+    # stage B cross-column carry: last valid inclination diff per row (f32 (R,))
+    incl_diffs: jax.Array
+
+    @property
+    def num_rows(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def ring_cols(self) -> int:
+        return self.x.shape[1]
+
+
+def init_state(config: Config, num_rows: int) -> RingState:
+    """Allocate and clear the ring buffer (reference reset(),
+    src/clustering/continuous_clustering.cpp:11-47)."""
+    rc = config.ring_buffer_max_columns
+    shape = (num_rows, rc)
+
+    def f32(v):
+        return jnp.full(shape, v, dtype=jnp.float32)
+
+    def i32(v):
+        return jnp.full(shape, v, dtype=jnp.int32)
+
+    def u32(v):
+        return jnp.full(shape, v, dtype=jnp.uint32)
+
+    nan = float("nan")
+    return RingState(
+        x=f32(nan), y=f32(nan), z=f32(nan),
+        distance=f32(nan), azimuth=f32(nan), inclination=f32(nan),
+        cont_az=f32(nan), gcol=i32(-1),
+        stamp_lo=u32(0), stamp_hi=u32(0),
+        uidx_lo=u32(0xFFFFFFFF), uidx_hi=u32(0xFFFFFFFF),
+        intensity=i32(0), firing_index=i32(0),
+        ground_label=i32(0), debug_label=i32(0),
+        is_ignored=jnp.zeros(shape, dtype=bool),
+        parent=i32(-1), finish_az=f32(0.0),
+        frozen=jnp.zeros(shape, dtype=bool), cluster_id=i32(0),
+        prev_rearmost=jnp.asarray(0, jnp.int32),
+        prev_foremost=jnp.asarray(-1, jnp.int32),
+        first_unfinished=jnp.asarray(-1, jnp.int32),
+        ring_start=jnp.asarray(-1, jnp.int32),
+        ring_end=jnp.asarray(-1, jnp.int32),
+        first_unpublished=jnp.asarray(-1, jnp.int32),
+        cluster_counter=jnp.asarray(1, jnp.int32),
+        origin_rot=jnp.asarray(0, jnp.int32),
+        reset_required=jnp.asarray(False),
+        overflow=jnp.asarray(False),
+        incl_diffs=jnp.full((num_rows,), nan, dtype=jnp.float32),
+    )
+
+
+CLEAR_VALUES = {
+    "x": float("nan"), "y": float("nan"), "z": float("nan"),
+    "distance": float("nan"), "azimuth": float("nan"),
+    "inclination": float("nan"), "cont_az": float("nan"),
+    "gcol": -1, "stamp_lo": 0, "stamp_hi": 0,
+    "uidx_lo": 0xFFFFFFFF, "uidx_hi": 0xFFFFFFFF,
+    "intensity": 0, "firing_index": 0,
+    "ground_label": 0, "debug_label": 0, "is_ignored": False,
+    "parent": -1, "finish_az": 0.0, "frozen": False, "cluster_id": 0,
+}
+
+CELL_FIELDS = tuple(CLEAR_VALUES.keys())
+
+
+def clear_columns(state: RingState, from_gcol: jax.Array, to_gcol: jax.Array) -> RingState:
+    """Clear ring columns in [from_gcol, to_gcol] (reference clearColumns,
+    src/clustering/continuous_clustering.cpp:1094-1145), vectorized as a
+    masked reset over local column indices."""
+    rc = state.ring_cols
+    lcols = jnp.arange(rc, dtype=jnp.int32)
+    n = to_gcol - from_gcol + 1
+    # local index of each gcol in the clear range; mask via modular distance
+    dist = (lcols - (from_gcol % rc)) % rc
+    mask = (dist < n)[None, :]  # (1, rc) broadcast over rows
+
+    updates = {}
+    for name, value in CLEAR_VALUES.items():
+        arr = getattr(state, name)
+        updates[name] = jnp.where(mask, jnp.asarray(value, arr.dtype), arr)
+    return dataclasses.replace(state, **updates)
+
+
+def rebase_azimuth(state: RingState, rotations: int) -> Tuple[RingState, int]:
+    """Shift all stored continuous azimuths down by ``rotations`` full turns.
+
+    Keeps f32 azimuths small over unbounded streams (the analog of the
+    reference's use of double for continuous azimuth). Returns the state and
+    the rotation delta the host must add to its azimuth origin.
+    """
+    shift = jnp.float32(2.0 * math.pi) * jnp.float32(rotations)
+    return (
+        dataclasses.replace(
+            state,
+            cont_az=state.cont_az - shift,
+            finish_az=state.finish_az - shift,
+            origin_rot=state.origin_rot + jnp.int32(rotations),
+        ),
+        rotations,
+    )

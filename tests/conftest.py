@@ -6,7 +6,9 @@ virtual CPU devices exactly like the driver's dryrun does.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the environment preselects a TPU platform (tests must be
+# hardware-independent); opt out with CCT_TEST_PLATFORM=tpu.
+os.environ["JAX_PLATFORMS"] = os.environ.get("CCT_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
