@@ -1,0 +1,348 @@
+"""The flagship streaming pipeline: TPU-native ContinuousClustering.
+
+Public API parity with the reference class
+(``clustering/continuous_clustering.hpp:197-221``):
+
+* ``reset(num_rows)``, ``set_configuration(cfg)``, ``reset_required()``
+* ``add_firing(firing, odom_from_sensor)``
+* ``set_transform_robot_frame_from_sensor_frame(tf)``
+* ``set_finished_column_callback(cb)`` / ``set_finished_cluster_callback(cb)``
+
+Architectural difference from the reference (by design, for TPU): the
+five reference thread-pool stages become three fused device programs over
+*column batches* — insertion (lax.scan over firings), ground segmentation,
+and association+completion — with the host orchestrating batches and
+dispatching callbacks.  Column callbacks receive ranges instead of single
+columns (the reference's publish path already uses ranges,
+…cpp:1087-1089); data is re-read from the device ring buffer via
+``get_columns`` exactly like the reference's ros_utils re-reads
+``range_image_`` (src/ros/ros_utils.cpp:34-77).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io.point_cloud import POINT_DTYPE, ProcessingStage, combine_u64, stage_dtype
+from ..ops.association import AssocInputs, associate_and_complete
+from ..ops.ground_segmentation import SegmentInputs, ground_segment_columns
+from ..ops.insertion import FiringBatch, insert_firings
+from ..ops.state import RingState, init_state, rebase_azimuth
+
+TWO_PI = 2.0 * math.pi
+
+
+class ContinuousClustering:
+    """Streaming continuous clustering on TPU."""
+
+    def __init__(
+        self,
+        config: Config = Config(),
+        firing_batch_size: int = 256,
+        rebase_after_rotations: int = 256,
+    ):
+        self._config = config
+        self._batch_F = firing_batch_size
+        self._rebase_after = rebase_after_rotations
+        self._num_rows: Optional[int] = None
+        self._state: Optional[RingState] = None
+        self._ego_from_sensor: Optional[np.ndarray] = None
+        self._reset_required = False
+
+        self.finished_column_callback: Optional[Callable[[int, int, bool], None]] = None
+        self.finished_cluster_callback: Optional[Callable[[np.ndarray, int], None]] = None
+
+        self._fifo: List[Dict[str, np.ndarray]] = []
+        self._fifo_poses: List[np.ndarray] = []
+
+    # ------------------------------------------------------------------ API
+    def set_configuration(self, config: Config) -> None:
+        if self._config.reset_required_vs(config):
+            self._reset_required = True
+        self._config = config
+        if self._num_rows is not None:
+            self._build_jits()
+
+    def reset_required(self) -> bool:
+        return self._reset_required
+
+    def set_transform_robot_frame_from_sensor_frame(self, tf: np.ndarray) -> None:
+        self._ego_from_sensor = np.asarray(tf, dtype=np.float64)
+
+    def has_transform_robot_frame_from_sensor_frame(self) -> bool:
+        return self._ego_from_sensor is not None
+
+    def set_finished_column_callback(self, cb) -> None:
+        self.finished_column_callback = cb
+
+    def set_finished_cluster_callback(self, cb) -> None:
+        self.finished_cluster_callback = cb
+
+    def reset(self, num_rows: int) -> None:
+        self._num_rows = num_rows
+        self._state = init_state(self._config, num_rows)
+        self._reset_required = False
+        self._fifo.clear()
+        self._fifo_poses.clear()
+        # host mirrors of device scalars (avoid syncs on the hot path)
+        self._h_first_unfinished = -1
+        self._h_first_unpublished = -1
+        self._h_cluster_counter = 1
+        self._h_origin_rot = 0
+        self._build_jits()
+
+    def _build_jits(self) -> None:
+        cfg = self._config
+        self._jit_insert = jax.jit(
+            partial(insert_firings, cfg), donate_argnums=(0,)
+        )
+        self._jit_segment = jax.jit(
+            partial(ground_segment_columns, cfg, batch_size=self._batch_F),
+            donate_argnums=(0,),
+        )
+        self._jit_assoc = jax.jit(
+            partial(associate_and_complete, cfg, batch_size=self._batch_F),
+            donate_argnums=(0,),
+        )
+
+    def add_firing(self, firing: Dict[str, np.ndarray], odom_from_sensor: np.ndarray) -> None:
+        if self._num_rows is None:
+            raise RuntimeError("reset(num_rows) must be called before add_firing")
+        if firing["xyz"].shape[0] != self._num_rows:
+            raise RuntimeError(
+                "The number of points in a firing has changed. This is probably a bug!"
+            )
+        self._fifo.append(firing)
+        self._fifo_poses.append(np.asarray(odom_from_sensor, dtype=np.float64))
+        if len(self._fifo) >= self._batch_F:
+            self._process_batch()
+
+    def flush(self) -> None:
+        """Process buffered firings (padding the batch)."""
+        if self._fifo:
+            self._process_batch()
+
+    # ---------------------------------------------------------------- internals
+    def _make_batch(self, firings, poses) -> FiringBatch:
+        F, R = self._batch_F, self._num_rows
+        n = len(firings)
+        xyz = np.full((F, R, 3), np.nan, np.float32)
+        stamp = np.zeros((F, R), np.uint64)
+        uidx = np.full((F, R), np.iinfo(np.uint64).max, np.uint64)
+        inten = np.zeros((F, R), np.int32)
+        fidx = np.zeros((F,), np.int64)
+        pose_arr = np.tile(np.eye(4)[:3], (F, 1, 1)).astype(np.float32)
+        for i, f in enumerate(firings):
+            xyz[i] = f["xyz"]
+            if "stamp" in f:
+                stamp[i] = f["stamp"]
+            if "uidx" in f:
+                uidx[i] = f["uidx"]
+            if "intensity" in f:
+                inten[i] = f["intensity"]
+            fidx[i] = f.get("firing_index", 0)
+            pose_arr[i] = poses[i][:3, :]
+        valid = np.arange(F) < n
+        return FiringBatch(
+            xyz=jnp.asarray(xyz),
+            pose=jnp.asarray(pose_arr),
+            stamp_lo=jnp.asarray(stamp & np.uint64(0xFFFFFFFF), jnp.uint32),
+            stamp_hi=jnp.asarray(stamp >> np.uint64(32), jnp.uint32),
+            uidx_lo=jnp.asarray(uidx & np.uint64(0xFFFFFFFF), jnp.uint32),
+            uidx_hi=jnp.asarray(uidx >> np.uint64(32), jnp.uint32),
+            intensity=jnp.asarray(inten),
+            firing_index=jnp.asarray(fidx, jnp.int32),
+            valid=jnp.asarray(valid),
+        )
+
+    def _process_batch(self) -> None:
+        firings, poses = self._fifo, self._fifo_poses
+        self._fifo, self._fifo_poses = [], []
+        if self._ego_from_sensor is None:
+            raise RuntimeError("Transform robot frame from sensor frame was not set yet!")
+
+        batch = self._make_batch(firings, poses)
+        res = self._jit_insert(self._state, batch)
+        self._state = res.state
+        rearmost = np.asarray(res.rearmost_per_firing)
+        if bool(self._state.reset_required):
+            self._reset_required = True
+            return
+
+        # derive finished-column range and per-column triggering pose
+        valid_rm = rearmost[rearmost >= 0]
+        if valid_rm.size == 0:
+            return
+        fu_before = self._h_first_unfinished
+        if fu_before < 0:
+            fu_before = int(valid_rm[0])
+        fu_after = int(valid_rm[-1])
+        self._h_first_unfinished = fu_after
+        if fu_after <= fu_before:
+            return
+
+        cols = np.arange(fu_before, fu_after)
+        # firing that finished column g: first i with rearmost[i] > g
+        rm_search = np.where(rearmost < 0, np.iinfo(np.int64).min, rearmost)
+        trigger = np.searchsorted(rm_search, cols, side="right")
+        trigger = np.clip(trigger, 0, len(poses) - 1)
+
+        ego = self._ego_from_sensor
+        hsg = np.float32(-ego[2, 3] + self._config.ground_segmentation.height_ref_to_ground)
+
+        B = self._batch_F
+        for start in range(0, len(cols), B):
+            chunk_cols = cols[start : start + B]
+            n = len(chunk_cols)
+            chunk_poses = [poses[trigger[start + k]] for k in range(n)]
+            sensor_pos = np.zeros((B, 3), np.float32)
+            ego_rot = np.zeros((B, 3, 3), np.float32)
+            ego_trans = np.zeros((B, 3), np.float32)
+            for k, p in enumerate(chunk_poses):
+                sensor_pos[k] = p[:3, 3]
+                # inverse of an isometry: R^T, -R^T t
+                rinv = p[:3, :3].T
+                tinv = -rinv @ p[:3, 3]
+                ego_rot[k] = ego[:3, :3] @ rinv
+                ego_trans[k] = ego[:3, :3] @ tinv + ego[:3, 3]
+            seg_in = SegmentInputs(
+                gcol0=jnp.asarray(chunk_cols[0], jnp.int32),
+                n_cols=jnp.asarray(n, jnp.int32),
+                sensor_pos=jnp.asarray(sensor_pos),
+                ego_rot=jnp.asarray(ego_rot),
+                ego_trans=jnp.asarray(ego_trans),
+                height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
+            )
+            self._state = self._jit_segment(self._state, seg_in)
+            if self.finished_column_callback:
+                self.finished_column_callback(
+                    int(chunk_cols[0]), int(chunk_cols[-1]), True
+                )
+
+            counter_old = self._h_cluster_counter
+            assoc_in = AssocInputs(
+                gcol0=jnp.asarray(chunk_cols[0], jnp.int32),
+                n_cols=jnp.asarray(n, jnp.int32),
+            )
+            cres = self._jit_assoc(self._state, assoc_in)
+            self._state = cres.state
+            fu_old = int(cres.fu_old)
+            fu_new = int(cres.fu_new)
+            num_new = int(cres.num_new_clusters)
+            self._h_cluster_counter = counter_old + num_new
+            self._h_first_unpublished = fu_new
+
+            if num_new > 0 and self.finished_cluster_callback:
+                self._emit_clusters(fu_old, int(chunk_cols[-1]) + 1, counter_old)
+            if fu_new > fu_old and self.finished_column_callback:
+                self.finished_column_callback(fu_old, fu_new - 1, False)
+
+        self._maybe_rebase()
+
+    def _emit_clusters(self, from_gcol: int, to_gcol: int, counter_old: int) -> None:
+        cloud = self.get_columns(from_gcol, to_gcol - 1, ProcessingStage.CONTINUOUS_CLUSTERING)
+        ids = cloud["id"]
+        new = ids >= counter_old
+        if not np.any(new):
+            return
+        cloud = cloud[new]
+        order = np.argsort(cloud["id"], kind="stable")
+        cloud = cloud[order]
+        ids = cloud["id"]
+        boundaries = np.flatnonzero(np.diff(ids)) + 1
+        for group in np.split(cloud, boundaries):
+            if len(group) <= 20:  # reference publish gate (…cpp:1023)
+                continue
+            stamps = group["time_sec"].astype(np.uint64) * np.uint64(1_000_000_000) + group[
+                "time_nsec"
+            ].astype(np.uint64)
+            smin, smax = int(stamps.min()), int(stamps.max())
+            if self._config.clustering.use_last_point_for_cluster_stamp:
+                stamp = smax
+            else:
+                stamp = smin + (smax - smin) // 2
+            self.finished_cluster_callback(group, stamp)
+
+    def _maybe_rebase(self) -> None:
+        rot = self._h_first_unpublished // self._config.range_image.num_columns
+        if rot - self._h_origin_rot > self._rebase_after:
+            delta = rot - self._h_origin_rot
+            self._state, _ = rebase_azimuth(self._state, delta)
+            self._h_origin_rot += delta
+
+    # ---------------------------------------------------------------- access
+    @property
+    def state(self) -> RingState:
+        return self._state
+
+    @property
+    def num_rows(self) -> int:
+        return self._num_rows
+
+    @property
+    def first_unpublished_global_column_index(self) -> int:
+        return self._h_first_unpublished
+
+    def get_columns(
+        self,
+        from_gcol: int,
+        to_gcol: int,
+        stage: ProcessingStage = ProcessingStage.CONTINUOUS_CLUSTERING,
+    ) -> np.ndarray:
+        """Read back a column range as a structured point cloud (analog of
+        columnToPointCloud, src/ros/ros_utils.cpp:34-77). Rows are flattened
+        column-major like the reference message layout."""
+        s = self._state
+        rc = s.ring_cols
+        R = self._num_rows
+        gcols = np.arange(from_gcol, to_gcol + 1)
+        lcols = gcols % rc
+
+        def take(arr):
+            return np.asarray(arr[:, jnp.asarray(lcols)])  # (R, n)
+
+        n = len(gcols)
+        out = np.zeros(R * n, dtype=stage_dtype(stage))
+        origin_az = TWO_PI * self._h_origin_rot
+
+        def put(name, vals):
+            if name in out.dtype.names:
+                out[name] = np.asarray(vals).T.reshape(-1)  # column-major
+
+        put("x", take(s.x))
+        put("y", take(s.y))
+        put("z", take(s.z))
+        put("firing_index", take(s.firing_index))
+        put("intensity", np.clip(take(s.intensity), 0, 255).astype(np.uint8))
+        put("globally_unique_point_index", combine_u64(take(s.uidx_hi), take(s.uidx_lo)))
+        stamps = combine_u64(take(s.stamp_hi), take(s.stamp_lo))
+        put("time_sec", (stamps // np.uint64(1_000_000_000)).astype(np.uint32))
+        put("time_nsec", (stamps % np.uint64(1_000_000_000)).astype(np.uint32))
+        put("distance", take(s.distance))
+        put("azimuth_angle", take(s.azimuth))
+        put("inclination_angle", take(s.inclination))
+        put("continuous_azimuth_angle", take(s.cont_az).astype(np.float64) + origin_az)
+        put("global_column_index", take(s.gcol).astype(np.int64))
+        put("local_column_index", np.broadcast_to(lcols[None, :], (R, n)).astype(np.uint16))
+        put("row_index", np.broadcast_to(np.arange(R)[:, None], (R, n)).astype(np.uint16))
+        put("ground_point_label", take(s.ground_label).astype(np.uint8))
+        put("debug_ground_point_label", take(s.debug_label).astype(np.uint8))
+        put("height_over_ground", np.full((R, n), np.nan, np.float32))
+        put("ignore_for_clustering", take(s.is_ignored).astype(np.uint8))
+        put(
+            "finished_at_continuous_azimuth_angle",
+            take(s.finish_az).astype(np.float64) + origin_az,
+        )
+        put("id", take(s.cluster_id).astype(np.uint64))
+        # tree fields have no analog in the CC formulation; root index stands in
+        put("tree_id", take(s.parent).astype(np.uint64))
+        put("tree_root_row_index", (np.maximum(take(s.parent), 0) // rc).astype(np.uint16))
+        put("tree_root_column_index", (np.maximum(take(s.parent), 0) % rc).astype(np.int64))
+        return out

@@ -1,0 +1,426 @@
+"""Stages C/D/E — association, cluster combination, and completion on device.
+
+The reference grows point trees per column and links them into an undirected
+graph, then BFS-finishes connected components when the sensor has rotated
+past them (``src/clustering/continuous_clustering.cpp:638-974``).  On TPU we
+re-derive the same *partition* as connected components over the tested-edge
+graph:
+
+* **edge set** — for every non-ignored point ``p`` the reference walks a
+  field-of-view wedge: up to ``min(ceil(asin(max_d/dist)/col_width),
+  max_steps_in_row)`` columns to the left, ``±max_steps_in_column`` rows with
+  an early *break* at the first row whose inclination differs from ``p`` by
+  more than ``asin(max_d/dist)`` (…cpp:698-771).  We precompute, per point and
+  column offset, the reachable row range as an inclusive prefix-AND and pack
+  it into bitmasks; an edge additionally requires the euclidean gate
+  ``|Δxyz|² < max_d²`` (…cpp:638-641).  With
+  ``stop_after_association_enabled=false`` this is exactly the reference's
+  tested-edge set; with the stop heuristic on, the reference tests a subset,
+  which only *coarsens* our components in rare tie cases (measured ≥98%
+  agreement in tests).
+
+* **connected components** — iterative min-label diffusion over the window
+  (halo of ``max_steps_in_row`` columns + the new batch) with pointer-jumping
+  compression, then a FastSV-style union of window components into the global
+  parent array through the halo cells.
+
+* **completion** (…cpp:837-974) — per resolved root: segment-max of
+  ``finish_az = cont_az + asin(max_d/dist)`` (the reference's
+  ``finished_at_continuous_azimuth_angle`` accumulation, …cpp:669-671,818),
+  segment-min/max of member columns (full-rotation force-finish, …cpp:912-919)
+  and member count (>5 gate, …cpp:936).  A component is finished when its
+  max finish azimuth is not greater than the minimum continuous azimuth of
+  the newest column (…cpp:884-885).  Completion runs once per batch with the
+  newest column's frontier azimuth — the set of finished clusters matches the
+  reference's per-column checks because finish azimuths are monotone.
+
+Cluster ids are assigned sequentially to finished components with more than
+5 points; member cells of finished components are frozen so later points can
+no longer associate with them (…cpp:656-659,687-690).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .state import RingState, clear_columns
+
+I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class AssocInputs(NamedTuple):
+    gcol0: jax.Array   # () i32 first new column
+    n_cols: jax.Array  # () i32 number of valid new columns (<= B)
+
+
+def _window_arrays(config: Config, state: RingState, gcol0: jax.Array, B: int):
+    """Gather the halo+batch window (R, W+B) from the ring."""
+    H = config.clustering.max_steps_in_row
+    rc = state.ring_cols
+    wcols = gcol0 - H + jnp.arange(H + B, dtype=jnp.int32)  # global col per window slot
+    lcols = wcols % rc
+    return wcols, lcols
+
+
+def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
+    """Precompute per (point, column-offset) reachable-row bitmasks + edges.
+
+    Returns (bits, active_w, wcols, lcols) where bits has shape
+    (H+1, 2, R, B): for batch point (r, b) and offset dc, bit (dr + V) of the
+    two packed words marks an edge to window cell (r + dr, b + H - dc).
+    """
+    cl = config.clustering
+    H = cl.max_steps_in_row        # horizontal steps
+    V = cl.max_steps_in_column     # vertical steps
+    R = state.num_rows
+    rc = state.ring_cols
+    num_cols = config.range_image.num_columns
+    az_width = jnp.float32(2.0 * math.pi / num_cols)
+    max_d = jnp.float32(cl.max_distance)
+    max_d2 = max_d * max_d
+
+    wcols, lcols = _window_arrays(config, state, inputs.gcol0, B)
+    WCOL = H + B
+
+    def take(arr):
+        return arr[:, lcols]
+
+    xw, yw, zw = take(state.x), take(state.y), take(state.z)
+    incw = take(state.inclination)
+    distw = take(state.distance)
+    gcolw = take(state.gcol)
+    ignw = take(state.is_ignored)
+    frozw = take(state.frozen)
+
+    col_ok = (wcols[None, :] >= state.first_unpublished) & (
+        wcols[None, :] < inputs.gcol0 + inputs.n_cols
+    )
+    active_w = (gcolw == wcols[None, :]) & ~ignw & ~frozw & col_ok  # (R, WCOL)
+
+    # batch-point quantities
+    xb, yb, zb = xw[:, H:], yw[:, H:], zw[:, H:]
+    incb = incw[:, H:]
+    distb = distw[:, H:]
+    active_b = active_w[:, H:]
+    mad = jnp.arcsin(max_d / distb)                       # (R, B)
+    wp = jnp.minimum(jnp.ceil(mad / az_width).astype(jnp.int32), H)
+
+    # padded window arrays for vertical shifts
+    def vpad(arr, fill):
+        return jnp.pad(arr, ((V, V), (0, 0)), constant_values=fill)
+
+    xp, yp, zp = vpad(xw, jnp.nan), vpad(yw, jnp.nan), vpad(zw, jnp.nan)
+    incp = vpad(incw, jnp.nan)
+    actp = vpad(active_w, False)
+
+    def bits_for_dc(dc):
+        # neighbor cell at (r + dr, b + H - dc) in window coords
+        base = H - dc  # column start offset into window for dr slices
+
+        def nslice(arr):
+            # (2V+1, R, B): arr[(V + dr) + r, base + b] for dr in -V..V
+            return jnp.stack(
+                [
+                    jax.lax.dynamic_slice(arr, (k, base), (R, B))
+                    for k in range(2 * V + 1)
+                ],
+                axis=0,
+            )
+
+        nx, ny, nz = nslice(xp), nslice(yp), nslice(zp)
+        ninc = nslice(incp)
+        nact = nslice(actp)
+
+        incl_ok = jnp.abs(ninc - incb[None]) <= mad[None]  # break test (…cpp:728)
+        ok0 = incl_ok[V]  # dr = 0
+
+        # walk reachability with break-at-first-violation semantics:
+        #   up walk tests ok(0), ok(-1), … for dc>0, but starts at ok(-1) for
+        #   dc==0 (…cpp:712-717); the down walk (dc>0 only) starts at ok(+1)
+        #   and never tests ok(0).
+        up_excl0 = jnp.cumprod(
+            incl_ok[V - 1 :: -1].astype(jnp.int8), axis=0
+        )[::-1].astype(bool)  # (V, R, B): index k ↔ dr = k - V, AND of ok(-1..dr)
+        down_excl0 = jnp.cumprod(
+            incl_ok[V + 1 :].astype(jnp.int8), axis=0
+        ).astype(bool)  # (V, R, B): index k ↔ dr = k + 1, AND of ok(+1..dr)
+
+        is_dc0 = dc == 0
+        up_edge = up_excl0 & jnp.where(is_dc0, True, ok0)[None]
+        dr0_edge = (ok0 & ~is_dc0)[None]
+        down_edge = down_excl0 & ~is_dc0
+        reach = jnp.concatenate([up_edge, dr0_edge, down_edge], axis=0)  # (2V+1,R,B)
+
+        dx, dy, dz = nx - xb[None], ny - yb[None], nz - zb[None]
+        close = (dx * dx + dy * dy + dz * dz) < max_d2
+
+        edge = reach & close & nact & active_b[None] & (dc <= wp)[None]
+
+        # pack the 2V+1 dr-bits into two i32 words (bit = dr + V, word = bit//32)
+        dr_idx = jnp.arange(2 * V + 1, dtype=jnp.int32)
+        shifts = jnp.left_shift(jnp.int32(1), dr_idx % 32)[:, None, None]
+        in_w0 = (dr_idx < 32)[:, None, None]
+        w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=0).astype(jnp.int32)
+        w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=0).astype(jnp.int32)
+        return jnp.stack([w0, w1], axis=0)  # (2, R, B)
+
+    bits = jax.lax.map(bits_for_dc, jnp.arange(H + 1))  # (H+1, 2, R, B)
+    return bits, active_w, wcols, lcols, mad, active_b
+
+
+def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
+               max_wp: jax.Array) -> jax.Array:
+    """Min-label diffusion + pointer jumping over the window graph.
+
+    Returns converged window-local labels (R, WCOL) where label = flat window
+    index of the component's canonical cell.
+    """
+    cl = config.clustering
+    H, V = cl.max_steps_in_row, cl.max_steps_in_column
+    R, WCOL = active_w.shape
+    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
+
+    n_off = (H + 1) * (2 * V + 1)
+    inf = jnp.int32(R * WCOL)  # sentinel larger than any wlid
+
+    def sweep(L):
+        Lpad = jnp.pad(L, ((V, V), (H, H)), constant_values=inf)
+
+        def off_body(o, L):
+            dc = o // (2 * V + 1)
+            dr_idx = o % (2 * V + 1)
+            word = jax.lax.dynamic_slice(bits, (dc, dr_idx // 32, 0, 0), (1, 1, R, B))[0, 0]
+            m = ((word >> (dr_idx % 32)) & 1).astype(bool)  # (R, B) source mask
+            M = jnp.zeros((R, WCOL), bool).at[:, H:].set(m)
+            Mpad = jnp.pad(M, ((V, V), (H, H)), constant_values=False)
+
+            # pull-left: L[p] = min(L[p], L[p + (dr, -dc)]) where M[p]
+            nb = jax.lax.dynamic_slice(Lpad, (dr_idx, H - dc), (R, WCOL))
+            L = jnp.minimum(L, jnp.where(M, nb, inf))
+            # pull-right: L[q] = min(L[q], L[q - (dr, -dc)]) where M[q - off]
+            src = jax.lax.dynamic_slice(Lpad, (2 * V - dr_idx, H + dc), (R, WCOL))
+            ms = jax.lax.dynamic_slice(Mpad, (2 * V - dr_idx, H + dc), (R, WCOL))
+            L = jnp.minimum(L, jnp.where(ms, src, inf))
+            return L
+
+        upper = (jnp.minimum(max_wp, H) + 1) * (2 * V + 1)
+
+        def cond(c):
+            o, L = c
+            return o < upper
+
+        def body(c):
+            o, L = c
+            return o + 1, off_body(o, L)
+
+        _, L = jax.lax.while_loop(cond, body, (jnp.int32(0), L))
+        return L
+
+    def jump(L):
+        f = L.reshape(-1)
+        f = jnp.take(f, f)
+        f = jnp.take(f, f)
+        return f.reshape(R, WCOL)
+
+    def loop_cond(c):
+        L, changed, it = c
+        return changed & (it < 64)
+
+    def loop_body(c):
+        L, _, it = c
+        L2 = jump(sweep(L))
+        return L2, jnp.any(L2 != L), it + 1
+
+    L0 = wlid
+    L, _, _ = jax.lax.while_loop(loop_cond, loop_body, (L0, jnp.asarray(True), 0))
+    return L
+
+
+def _resolve(parent_flat: jax.Array, iters: int = 0) -> jax.Array:
+    """Pointer-jump the full parent array to fixpoint."""
+    n = parent_flat.shape[0]
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    p = jnp.where(parent_flat < 0, self_idx, parent_flat)
+
+    def cond(c):
+        p, changed, it = c
+        return changed & (it < 64)
+
+    def body(c):
+        p, _, it = c
+        p2 = jnp.take(p, p)
+        return p2, jnp.any(p2 != p), it + 1
+
+    p, _, _ = jax.lax.while_loop(cond, body, (p, jnp.asarray(True), 0))
+    return p
+
+
+class CompleteResult(NamedTuple):
+    state: RingState
+    fu_old: jax.Array        # () i32 first_unpublished before completion
+    fu_new: jax.Array        # () i32 after
+    num_new_clusters: jax.Array  # () i32
+
+
+def associate_and_complete(
+    config: Config, state: RingState, inputs: AssocInputs, batch_size: int
+) -> CompleteResult:
+    """Run association (CC update) and completion for a column batch."""
+    cl = config.clustering
+    H, V = cl.max_steps_in_row, cl.max_steps_in_column
+    R = state.num_rows
+    rc = state.ring_cols
+    B = batch_size
+    num_cols = config.range_image.num_columns
+    max_d = jnp.float32(cl.max_distance)
+
+    bits, active_w, wcols, lcols, mad, active_b = _edge_bits(config, state, inputs, B)
+    WCOL = H + B
+
+    max_wp = jnp.max(
+        jnp.where(
+            active_b,
+            jnp.minimum(
+                jnp.ceil(mad / jnp.float32(2 * math.pi / num_cols)).astype(jnp.int32), H
+            ),
+            0,
+        )
+    )
+    Lw = _window_cc(config, bits, active_w, B, max_wp)
+
+    # ---- merge window components into the global parent array -----------
+    glid = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + lcols[None, :])  # (R, WCOL)
+    root_glid = jnp.take(glid.reshape(-1), Lw.reshape(-1)).reshape(R, WCOL)
+
+    parent = state.parent.reshape(-1)
+    # new batch points adopt their window root (self for singletons)
+    batch_active = active_w[:, H:]
+    parent = parent.at[glid[:, H:].reshape(-1)].set(
+        jnp.where(batch_active, root_glid[:, H:], state.parent.reshape(-1)[glid[:, H:]].reshape(R, B)).reshape(-1)
+    )
+
+    # halo cells: union(resolve(old parent), window root) — FastSV iteration
+    halo_glid = glid[:, :H].reshape(-1)
+    halo_root = root_glid[:, :H].reshape(-1)
+    halo_act = active_w[:, :H].reshape(-1)
+
+    def union_cond(c):
+        parent, changed, it = c
+        return changed & (it < 32)
+
+    def union_body(c):
+        parent, _, it = c
+        res = _resolve(parent)
+        ra = jnp.take(res, halo_glid)
+        rb = jnp.take(res, halo_root)
+        lo = jnp.minimum(ra, rb)
+        hi = jnp.maximum(ra, rb)
+        do = halo_act & (lo != hi)
+        hi_s = jnp.where(do, hi, 0)
+        lo_s = jnp.where(do, lo, parent[0])
+        new_parent = parent.at[hi_s].min(jnp.where(do, lo_s, I32_MAX))
+        return new_parent, jnp.any(new_parent != parent), it + 1
+
+    parent, _, _ = jax.lax.while_loop(
+        union_cond, union_body, (parent, jnp.asarray(True), 0)
+    )
+
+    # full path compression
+    resolved = _resolve(parent)
+    parent_full = jnp.where(parent >= 0, resolved, -1)
+
+    # ---- write new-point clustering fields ------------------------------
+    finish_new = jnp.where(
+        batch_active,
+        jnp.take(state.cont_az.reshape(-1), glid[:, H:].reshape(-1)).reshape(R, B) + mad,
+        0.0,
+    )
+    finish_flat = state.finish_az.reshape(-1)
+    finish_flat = finish_flat.at[glid[:, H:].reshape(-1)].set(
+        jnp.where(batch_active.reshape(-1), finish_new.reshape(-1),
+                  finish_flat[glid[:, H:].reshape(-1)])
+    )
+
+    state = dataclasses.replace(
+        state,
+        parent=parent_full.reshape(R, rc),
+        finish_az=finish_flat.reshape(R, rc),
+    )
+
+    # ---- completion ------------------------------------------------------
+    return _complete(config, state, inputs, B)
+
+
+def _complete(config: Config, state: RingState, inputs: AssocInputs, B: int) -> CompleteResult:
+    R = state.num_rows
+    rc = state.ring_cols
+    num_cols = config.range_image.num_columns
+    n_cells = R * rc
+    flat_idx = jnp.arange(n_cells, dtype=jnp.int32)
+
+    parent = state.parent.reshape(-1)
+    frozen = state.frozen.reshape(-1)
+    gcol = state.gcol.reshape(-1)
+    finish_az = state.finish_az.reshape(-1)
+
+    active = (parent >= 0) & ~frozen
+    root = jnp.where(active, parent, flat_idx)
+
+    # frontier azimuth: min continuous azimuth over the newest column
+    newest = (inputs.gcol0 + inputs.n_cols - 1) % rc
+    cur_min_az = jnp.min(state.cont_az[:, newest])
+
+    big_f = jnp.float32(jnp.finfo(jnp.float32).max)
+    finish_max = jnp.full(n_cells, -big_f).at[root].max(
+        jnp.where(active, finish_az, -big_f)
+    )
+    gmin = jnp.full(n_cells, I32_MAX).at[root].min(jnp.where(active, gcol, I32_MAX))
+    gmax = jnp.full(n_cells, -1).at[root].max(jnp.where(active, gcol, -1))
+    count = jnp.zeros(n_cells, jnp.int32).at[root].add(active.astype(jnp.int32))
+
+    is_root = active & (root == flat_idx)
+    exceeds = (gmax + 1 - gmin) >= num_cols  # force-finish (…cpp:912-919)
+    finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
+
+    publish_root = finished_root & (count > 5)
+    rank = jnp.cumsum(publish_root.astype(jnp.int32))
+    ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
+    num_new = rank[-1]
+
+    # member cells inherit id/frozen from their root
+    cell_finished = active & jnp.take(finished_root, root)
+    cell_id = jnp.where(cell_finished, jnp.take(ids, root), state.cluster_id.reshape(-1))
+    frozen_new = frozen | cell_finished
+
+    # frontier advance: min column over unfinished roots (…cpp:943-959)
+    unfinished_root = is_root & ~finished_root
+    min_required = jnp.min(jnp.where(unfinished_root, gmin, I32_MAX))
+    min_required = jnp.where(
+        min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
+    )
+    fu_old = state.first_unpublished
+    fu_new = jnp.maximum(fu_old, min_required)
+
+    ring_start_old = state.ring_start
+    ring_start_new = jnp.maximum(
+        jnp.maximum(0, fu_new - num_cols), ring_start_old
+    )
+
+    state = dataclasses.replace(
+        state,
+        cluster_id=cell_id.reshape(R, rc),
+        frozen=frozen_new.reshape(R, rc),
+        cluster_counter=state.cluster_counter + num_new,
+        first_unpublished=fu_new,
+        ring_start=ring_start_new,
+    )
+    state = clear_columns(state, ring_start_old, ring_start_new - 1)
+    return CompleteResult(
+        state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new
+    )
