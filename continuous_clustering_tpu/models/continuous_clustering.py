@@ -31,10 +31,9 @@ import numpy as np
 
 from ..config import Config
 from ..io.point_cloud import POINT_DTYPE, ProcessingStage, combine_u64, stage_dtype
-from ..ops.association import AssocInputs, associate_and_complete
-from ..ops.ground_segmentation import SegmentInputs, ground_segment_columns
-from ..ops.insertion import FiringBatch, insert_firings
+from ..ops.insertion import FiringBatch
 from ..ops.state import RingState, init_state, rebase_azimuth
+from .step import EgoCalibration, pipeline_step
 
 TWO_PI = 2.0 * math.pi
 
@@ -100,15 +99,11 @@ class ContinuousClustering:
 
     def _build_jits(self) -> None:
         cfg = self._config
-        self._jit_insert = jax.jit(
-            partial(insert_firings, cfg), donate_argnums=(0,)
-        )
-        self._jit_segment = jax.jit(
-            partial(ground_segment_columns, cfg, batch_size=self._batch_F),
-            donate_argnums=(0,),
-        )
-        self._jit_assoc = jax.jit(
-            partial(associate_and_complete, cfg, batch_size=self._batch_F),
+        # column capacity per step: firings per batch + slack for uneven
+        # column completion at stream start
+        self._batch_B = self._batch_F + 32
+        self._jit_step = jax.jit(
+            partial(pipeline_step, cfg, batch_cols=self._batch_B),
             donate_argnums=(0,),
         )
 
@@ -168,83 +163,59 @@ class ContinuousClustering:
         if self._ego_from_sensor is None:
             raise RuntimeError("Transform robot frame from sensor frame was not set yet!")
 
-        batch = self._make_batch(firings, poses)
-        res = self._jit_insert(self._state, batch)
-        self._state = res.state
-        rearmost = np.asarray(res.rearmost_per_firing)
-        if bool(self._state.reset_required):
-            self._reset_required = True
-            return
-
-        # derive finished-column range and per-column triggering pose
-        valid_rm = rearmost[rearmost >= 0]
-        if valid_rm.size == 0:
-            return
-        fu_before = self._h_first_unfinished
-        if fu_before < 0:
-            fu_before = int(valid_rm[0])
-        fu_after = int(valid_rm[-1])
-        self._h_first_unfinished = fu_after
-        if fu_after <= fu_before:
-            return
-
-        cols = np.arange(fu_before, fu_after)
-        # firing that finished column g: first i with rearmost[i] > g
-        rm_search = np.where(rearmost < 0, np.iinfo(np.int64).min, rearmost)
-        trigger = np.searchsorted(rm_search, cols, side="right")
-        trigger = np.clip(trigger, 0, len(poses) - 1)
-
         ego = self._ego_from_sensor
         hsg = np.float32(-ego[2, 3] + self._config.ground_segmentation.height_ref_to_ground)
-
-        B = self._batch_F
-        for start in range(0, len(cols), B):
-            chunk_cols = cols[start : start + B]
-            n = len(chunk_cols)
-            chunk_poses = [poses[trigger[start + k]] for k in range(n)]
-            sensor_pos = np.zeros((B, 3), np.float32)
-            ego_rot = np.zeros((B, 3, 3), np.float32)
-            ego_trans = np.zeros((B, 3), np.float32)
-            for k, p in enumerate(chunk_poses):
-                sensor_pos[k] = p[:3, 3]
-                # inverse of an isometry: R^T, -R^T t
-                rinv = p[:3, :3].T
-                tinv = -rinv @ p[:3, 3]
-                ego_rot[k] = ego[:3, :3] @ rinv
-                ego_trans[k] = ego[:3, :3] @ tinv + ego[:3, 3]
-            seg_in = SegmentInputs(
-                gcol0=jnp.asarray(chunk_cols[0], jnp.int32),
-                n_cols=jnp.asarray(n, jnp.int32),
-                sensor_pos=jnp.asarray(sensor_pos),
-                ego_rot=jnp.asarray(ego_rot),
-                ego_trans=jnp.asarray(ego_trans),
-                height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
-            )
-            self._state = self._jit_segment(self._state, seg_in)
-            if self.finished_column_callback:
-                self.finished_column_callback(
-                    int(chunk_cols[0]), int(chunk_cols[-1]), True
+        calib = EgoCalibration(
+            ego_from_sensor=jnp.asarray(ego[:3, :], jnp.float32),
+            height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
+        )
+        batch = self._make_batch(firings, poses)
+        n_cols = self._run_step(batch, calib)
+        # If the step clamped at its column capacity there may be surplus
+        # finished columns; empty batches re-advance the frontier from the
+        # persistent prev_rearmost scalar and drain them.
+        while n_cols == self._batch_B and not self._reset_required:
+            empty = self._make_batch([], [])
+            empty = empty._replace(
+                pose=jnp.broadcast_to(
+                    jnp.asarray(poses[-1][:3, :], jnp.float32), empty.pose.shape
                 )
-
-            counter_old = self._h_cluster_counter
-            assoc_in = AssocInputs(
-                gcol0=jnp.asarray(chunk_cols[0], jnp.int32),
-                n_cols=jnp.asarray(n, jnp.int32),
             )
-            cres = self._jit_assoc(self._state, assoc_in)
-            self._state = cres.state
-            fu_old = int(cres.fu_old)
-            fu_new = int(cres.fu_new)
-            num_new = int(cres.num_new_clusters)
-            self._h_cluster_counter = counter_old + num_new
-            self._h_first_unpublished = fu_new
-
-            if num_new > 0 and self.finished_cluster_callback:
-                self._emit_clusters(fu_old, int(chunk_cols[-1]) + 1, counter_old)
-            if fu_new > fu_old and self.finished_column_callback:
-                self.finished_column_callback(fu_old, fu_new - 1, False)
+            n_cols = self._run_step(empty, calib)
 
         self._maybe_rebase()
+
+    def _run_step(self, batch: FiringBatch, calib) -> int:
+        self._state, info = self._jit_step(self._state, batch, calib)
+        if bool(info.reset_required):
+            self._reset_required = True
+            return 0
+        if bool(info.overflow):
+            raise RuntimeError(
+                "Ring buffer overflow: a column was not cleared before reuse. "
+                "The clustering cannot keep up with the input rate; slow down "
+                "the stream or adjust parameters (reference throws the same "
+                "way, src/clustering/continuous_clustering.cpp:337-344)."
+            )
+
+        n_cols = int(info.n_cols)
+        if n_cols == 0:
+            return 0
+        gcol0 = int(info.gcol0)
+        self._h_first_unfinished = gcol0 + n_cols
+        fu_old, fu_new = int(info.fu_old), int(info.fu_new)
+        counter_old = int(info.cluster_counter_old)
+        num_new = int(info.num_new_clusters)
+        self._h_cluster_counter = counter_old + num_new
+        self._h_first_unpublished = fu_new
+
+        if self.finished_column_callback:
+            self.finished_column_callback(gcol0, gcol0 + n_cols - 1, True)
+        if num_new > 0 and self.finished_cluster_callback:
+            self._emit_clusters(fu_old, gcol0 + n_cols, counter_old)
+        if fu_new > fu_old and self.finished_column_callback:
+            self.finished_column_callback(fu_old, fu_new - 1, False)
+        return n_cols
 
     def _emit_clusters(self, from_gcol: int, to_gcol: int, counter_old: int) -> None:
         cloud = self.get_columns(from_gcol, to_gcol - 1, ProcessingStage.CONTINUOUS_CLUSTERING)

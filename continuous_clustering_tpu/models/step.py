@@ -1,0 +1,120 @@
+"""Fused device step: insertion + segmentation + association + completion.
+
+One jitted program per firing batch.  The host→device surface is the firing
+batch plus the ego calibration; everything else (finished-column range,
+per-column trigger poses, frontier bookkeeping) is derived on device so the
+streaming hot path costs a single dispatch and a single scalar readback.
+
+This is the "flagship model forward step" exposed via ``__graft_entry__``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.association import AssocInputs, CompleteResult, associate_and_complete
+from ..ops.ground_segmentation import SegmentInputs, ground_segment_columns
+from ..ops.insertion import FiringBatch, insert_firings
+from ..ops.state import RingState
+
+
+class StepInfo(NamedTuple):
+    gcol0: jax.Array        # () i32 first column segmented this step
+    n_cols: jax.Array       # () i32 number segmented
+    fu_old: jax.Array       # () i32 publish frontier before completion
+    fu_new: jax.Array       # () i32 publish frontier after
+    num_new_clusters: jax.Array  # () i32
+    cluster_counter_old: jax.Array  # () i32
+    reset_required: jax.Array    # () bool
+    overflow: jax.Array          # () bool
+
+
+class EgoCalibration(NamedTuple):
+    """Static-per-stream ego calibration, device-resident."""
+
+    ego_from_sensor: jax.Array       # (3, 4) f32
+    height_sensor_to_ground: jax.Array  # () f32
+
+
+def pipeline_step(
+    config: Config,
+    state: RingState,
+    batch: FiringBatch,
+    ego: EgoCalibration,
+    batch_cols: int,
+):
+    """Process one firing batch end-to-end on device.
+
+    ``batch_cols`` is the static column-batch capacity; normally
+    ``F + slack``.  If more columns finish than fit, the surplus is deferred
+    to the next step (the insertion frontier is rolled back accordingly).
+    """
+    F = batch.xyz.shape[0]
+    B = batch_cols
+
+    fu_before = state.first_unfinished  # may be -1 before first data
+    res = insert_firings(config, state, batch)
+    state = res.state
+    rearmost = res.rearmost_per_firing  # (F,) finished_up_to after each firing
+
+    valid_rm = jnp.where(rearmost >= 0, rearmost, jnp.iinfo(jnp.int32).max)
+    first_valid = jnp.min(valid_rm)  # init value of the frontier
+    gcol0 = jnp.where(fu_before >= 0, fu_before, first_valid)
+    fu_after = state.first_unfinished
+    n_cols = jnp.clip(fu_after - gcol0, 0, B)
+    has_work = (fu_after >= 0) & (n_cols > 0) & ~state.reset_required
+    n_cols = jnp.where(has_work, n_cols, 0)
+    # defer surplus columns: roll the insertion frontier back to what we segment
+    state = dataclasses.replace(
+        state,
+        first_unfinished=jnp.where(has_work, gcol0 + n_cols, fu_after),
+    )
+
+    # per-column trigger pose: first firing whose rearmost exceeds the column
+    cols = gcol0 + jnp.arange(B, dtype=jnp.int32)
+    rm_key = jnp.where(rearmost >= 0, rearmost, jnp.iinfo(jnp.int32).min)
+    trig = jnp.clip(jnp.searchsorted(rm_key, cols, side="right"), 0, F - 1)
+    pose_cols = batch.pose[trig]              # (B, 3, 4)
+    sensor_pos = pose_cols[:, :, 3]
+
+    # ego_from_odom = ego_from_sensor @ inverse(odom_from_sensor)
+    rot = pose_cols[:, :, :3]
+    rinv = jnp.swapaxes(rot, 1, 2)           # (B, 3, 3)
+    tinv = -jnp.einsum("bij,bj->bi", rinv, sensor_pos, precision="highest")
+    er = ego.ego_from_sensor[:, :3]
+    etr = ego.ego_from_sensor[:, 3]
+    ego_rot = jnp.einsum("ij,bjk->bik", er, rinv, precision="highest")
+    ego_trans = jnp.einsum("ij,bj->bi", er, tinv, precision="highest") + etr
+
+    seg_in = SegmentInputs(
+        gcol0=gcol0,
+        n_cols=n_cols,
+        sensor_pos=sensor_pos,
+        ego_rot=ego_rot,
+        ego_trans=ego_trans,
+        height_sensor_to_ground=ego.height_sensor_to_ground,
+    )
+    state = ground_segment_columns(config, state, seg_in, B)
+
+    cres: CompleteResult = associate_and_complete(
+        config, state, AssocInputs(gcol0=gcol0, n_cols=n_cols), B
+    )
+    counter_old = state.cluster_counter
+    state = cres.state
+
+    info = StepInfo(
+        gcol0=gcol0,
+        n_cols=n_cols,
+        fu_old=cres.fu_old,
+        fu_new=cres.fu_new,
+        num_new_clusters=cres.num_new_clusters,
+        cluster_counter_old=counter_old,
+        reset_required=state.reset_required,
+        overflow=state.overflow,
+    )
+    return state, info

@@ -405,11 +405,14 @@ def _complete(config: Config, state: RingState, inputs: AssocInputs, B: int) -> 
         min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
     )
     fu_old = state.first_unpublished
-    fu_new = jnp.maximum(fu_old, min_required)
+    has_data = (inputs.n_cols > 0) & (fu_old >= 0)
+    fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
 
     ring_start_old = state.ring_start
-    ring_start_new = jnp.maximum(
-        jnp.maximum(0, fu_new - num_cols), ring_start_old
+    ring_start_new = jnp.where(
+        has_data,
+        jnp.maximum(jnp.maximum(0, fu_new - num_cols), ring_start_old),
+        ring_start_old,
     )
 
     state = dataclasses.replace(

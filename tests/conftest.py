@@ -7,10 +7,18 @@ virtual CPU devices exactly like the driver's dryrun does.
 import os
 
 # Force CPU even if the environment preselects a TPU platform (tests must be
-# hardware-independent); opt out with CCT_TEST_PLATFORM=tpu.
-os.environ["JAX_PLATFORMS"] = os.environ.get("CCT_TEST_PLATFORM", "cpu")
+# hardware-independent); opt out with CCT_TEST_PLATFORM=tpu.  Note: a
+# sitecustomize may have already set jax_platforms programmatically, so the
+# env var alone is not enough — update the config directly before backend
+# initialization.
+platform = os.environ.get("CCT_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", platform)
