@@ -16,6 +16,9 @@ BASELINE_PTS_PER_S = 2.2e6
 
 
 def main():
+    from continuous_clustering_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
     import continuous_clustering_tpu as cct
     from continuous_clustering_tpu.evaluation.synthetic import (
         frame_to_firings,
