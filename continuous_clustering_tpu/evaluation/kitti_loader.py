@@ -75,11 +75,41 @@ def generate_range_image(
     shift_cell_if_already_occupied: bool = True,
     width: int = RANGE_IMAGE_WIDTH,
     num_lasers: int = NUM_LASERS,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Rasterize into (NUM_LASERS * RANGE_IMAGE_WIDTH,) of original indices
     (-1 = empty), with the reference's right-then-left collision shifting
     (…cpp:101-175).  Sequential in file order, as in the reference."""
     W = width
+    # native fast path (exact same sequential semantics)
+    lib = None
+    if use_native:
+        try:
+            from .. import native
+
+            lib = native.load()
+        except Exception:  # pragma: no cover
+            lib = None
+    if lib is not None and shift_cell_if_already_occupied:
+        import ctypes
+
+        xyz4 = np.ascontiguousarray(
+            np.stack([points["x"], points["y"], points["z"], points["i"]], axis=1),
+            np.float32,
+        )
+        laser_c = np.ascontiguousarray(laser, np.int32)
+        out = np.full(num_lasers * W, -1, np.int64)
+        lib.cct_generate_range_image(
+            len(points),
+            xyz4.ctypes.data_as(ctypes.c_void_p),
+            laser_c.ctypes.data_as(ctypes.c_void_p),
+            W,
+            num_lasers,
+            1,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
+
     az = np.arctan2(points["y"], points["x"])
     col = ((math.pi - az) / (2 * math.pi / W)).astype(np.int64)
     col = np.where(col == W, W - 1, col)
@@ -91,24 +121,16 @@ def generate_range_image(
         image[flat] = np.arange(len(points))
         return image
 
-    # fast path: cells hit exactly once and whose neighbors are unique too
-    # could be vectorized; collisions are rare but order-dependent, so the
-    # reference-exact path is a plain loop over colliding points.
-    counts = np.bincount(flat, minlength=num_lasers * W)
-    unique_mask = counts[flat] == 1
-    image[flat[unique_mask]] = np.flatnonzero(unique_mask)
-
-    for idx in np.flatnonzero(~unique_mask):
+    # collision shifting is order-dependent (a shifted point can occupy a
+    # later point's cell), so the exact path is a plain sequential loop
+    for idx in range(len(points)):
         f = flat[idx]
         c = col[idx]
         if image[f] >= 0:
-            right = f + 1
-            if c + 1 < W and image[right] < 0:
-                f = right
-            else:
-                left = f - 1
-                if c - 1 >= 0 and image[left] < 0:
-                    f = left
+            if c + 1 < W and image[f + 1] < 0:
+                f = f + 1
+            elif c - 1 >= 0 and image[f - 1] < 0:
+                f = f - 1
         image[f] = idx
     return image
 

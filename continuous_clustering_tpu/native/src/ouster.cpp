@@ -1,0 +1,128 @@
+// Ouster LiDAR UDP packet decoder (legacy packet format).
+//
+// Native equivalent of the reference's OusterInput
+// (include/continuous_clustering/ros/ouster_input.hpp): per measurement
+// block (column) read RANGE + SIGNAL fields and convert to XYZ via the
+// precomputed beam lookup table built from the sensor_info beam angles
+// (ouster_input.hpp:75-88); signal scaled to 0-255; one firing per valid
+// column.
+//
+// Legacy format (parameterized so other profiles can be added): per column
+//   16-byte header: timestamp u64, measurement id u16, frame id u16,
+//   encoder count u32
+//   pixels_per_column pixels of 12 bytes: range u32 (19 bits + flags),
+//   reflectivity u16, signal u16, near_ir u16, padding u16
+//   4-byte block status footer (0xFFFFFFFF = valid)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr float kNaN = std::numeric_limits<float>::quiet_NaN();
+
+struct OusterDecoder {
+  int pixels_per_column;
+  int columns_per_packet;
+  int columns_per_frame;
+  double lidar_origin_to_beam_origin_mm;
+  std::vector<float> altitude;  // radians, per pixel
+  std::vector<float> azimuth;   // radians, per pixel (beam azimuth offsets)
+
+  std::vector<float> out_xyz;
+  std::vector<uint8_t> out_inten;
+  std::vector<uint64_t> out_stamps;
+  int out_count = 0;
+
+  void decodePacket(const uint8_t* data, int64_t size, uint64_t host_stamp) {
+    const int pixel_bytes = 12;
+    const int col_bytes = 16 + pixels_per_column * pixel_bytes + 4;
+    if (size < static_cast<int64_t>(col_bytes) * columns_per_packet) return;
+    for (int c = 0; c < columns_per_packet; ++c) {
+      const uint8_t* col = data + c * col_bytes;
+      uint32_t status;
+      std::memcpy(&status, col + col_bytes - 4, 4);
+      if (status != 0xFFFFFFFFu) continue;
+      uint16_t mid;
+      std::memcpy(&mid, col + 8, 2);
+      uint32_t encoder;
+      std::memcpy(&encoder, col + 12, 4);
+      // encoder ticks: 90112 per rev
+      float theta_enc = 2.0f * static_cast<float>(M_PI) *
+                        (1.0f - static_cast<float>(encoder) / 90112.0f);
+      size_t base = out_xyz.size();
+      out_xyz.resize(base + static_cast<size_t>(pixels_per_column) * 3, kNaN);
+      out_inten.resize(out_inten.size() + pixels_per_column, 0);
+      out_stamps.resize(out_stamps.size() + pixels_per_column, host_stamp);
+      for (int px = 0; px < pixels_per_column; ++px) {
+        const uint8_t* p = col + 16 + px * pixel_bytes;
+        uint32_t range_raw;
+        std::memcpy(&range_raw, p, 4);
+        uint32_t range_mm = range_raw & 0x000FFFFF;
+        uint16_t signal;
+        std::memcpy(&signal, p + 6, 2);
+        if (range_mm == 0) continue;
+        float r = range_mm * 1e-3f;
+        float n = static_cast<float>(lidar_origin_to_beam_origin_mm) * 1e-3f;
+        float theta = theta_enc + azimuth[px];
+        float phi = altitude[px];
+        float rc = r - n;
+        float x = rc * std::cos(theta) * std::cos(phi) + n * std::cos(theta_enc);
+        float y = rc * std::sin(theta) * std::cos(phi) + n * std::sin(theta_enc);
+        float z = rc * std::sin(phi);
+        out_xyz[base + px * 3 + 0] = x;
+        out_xyz[base + px * 3 + 1] = y;
+        out_xyz[base + px * 3 + 2] = z;
+        // 0-1000 -> 0-255 clamp (ouster_input.hpp intensity scaling)
+        float s = signal > 1000 ? 1000.0f : static_cast<float>(signal);
+        out_inten[out_inten.size() - pixels_per_column + px] =
+            static_cast<uint8_t>(s * 255.0f / 1000.0f);
+      }
+      ++out_count;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* cct_ouster_create(int pixels_per_column, int columns_per_packet,
+                        int columns_per_frame,
+                        double lidar_origin_to_beam_origin_mm,
+                        const float* altitude_rad, const float* azimuth_rad) {
+  auto* d = new OusterDecoder();
+  d->pixels_per_column = pixels_per_column;
+  d->columns_per_packet = columns_per_packet;
+  d->columns_per_frame = columns_per_frame;
+  d->lidar_origin_to_beam_origin_mm = lidar_origin_to_beam_origin_mm;
+  d->altitude.assign(altitude_rad, altitude_rad + pixels_per_column);
+  d->azimuth.assign(azimuth_rad, azimuth_rad + pixels_per_column);
+  return d;
+}
+
+void cct_ouster_destroy(void* h) { delete static_cast<OusterDecoder*>(h); }
+
+void cct_ouster_decode(void* h, const uint8_t* packet, int64_t size,
+                       uint64_t host_stamp_ns) {
+  static_cast<OusterDecoder*>(h)->decodePacket(packet, size, host_stamp_ns);
+}
+
+int cct_ouster_poll(void* h, int max_firings, float* xyz, uint8_t* inten,
+                    uint64_t* stamps) {
+  auto* d = static_cast<OusterDecoder*>(h);
+  int n = d->out_count < max_firings ? d->out_count : max_firings;
+  size_t rows = static_cast<size_t>(d->pixels_per_column);
+  std::memcpy(xyz, d->out_xyz.data(), n * rows * 3 * sizeof(float));
+  std::memcpy(inten, d->out_inten.data(), n * rows * sizeof(uint8_t));
+  std::memcpy(stamps, d->out_stamps.data(), n * rows * sizeof(uint64_t));
+  d->out_xyz.erase(d->out_xyz.begin(), d->out_xyz.begin() + n * rows * 3);
+  d->out_inten.erase(d->out_inten.begin(), d->out_inten.begin() + n * rows);
+  d->out_stamps.erase(d->out_stamps.begin(), d->out_stamps.begin() + n * rows);
+  d->out_count -= n;
+  return n;
+}
+}

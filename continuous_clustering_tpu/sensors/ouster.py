@@ -1,0 +1,123 @@
+"""Ouster packet input: native C++ decoder with a NumPy fallback.
+
+Parses the sensor_info JSON (beam angles, data format — same schema as the
+reference's calibrations/touareg_os32_*.json) and decodes LEGACY-profile
+lidar packets into firings (reference OusterInput, ros/ouster_input.hpp).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import math
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .. import native
+from .sensor_input import SensorInput
+
+ENCODER_TICKS_PER_REV = 90112
+
+
+class OusterInput(SensorInput):
+    def __init__(self, sensor_info, use_native: bool = True):
+        if isinstance(sensor_info, (str, Path)):
+            sensor_info = json.loads(Path(sensor_info).read_text())
+        self.info = sensor_info
+        fmt = sensor_info["data_format"]
+        self.pixels_per_column = int(fmt["pixels_per_column"])
+        self.columns_per_packet = int(fmt["columns_per_packet"])
+        self.columns_per_frame = int(fmt["columns_per_frame"])
+        self.beam_to_origin_mm = float(sensor_info["lidar_origin_to_beam_origin_mm"])
+        self.altitude = np.deg2rad(
+            np.asarray(sensor_info["beam_altitude_angles"], np.float32)
+        )
+        self.azimuth = np.deg2rad(
+            np.asarray(sensor_info["beam_azimuth_angles"], np.float32)
+        )
+        super().__init__(self.pixels_per_column)
+
+        self._native = None
+        lib = native.load() if use_native else None
+        if lib is not None:
+            self._lib = lib
+            self._native = lib.cct_ouster_create(
+                self.pixels_per_column,
+                self.columns_per_packet,
+                self.columns_per_frame,
+                ctypes.c_double(self.beam_to_origin_mm),
+                self.altitude.ctypes.data_as(ctypes.c_void_p),
+                self.azimuth.ctypes.data_as(ctypes.c_void_p),
+            )
+
+    def __del__(self):
+        if getattr(self, "_native", None):
+            self._lib.cct_ouster_destroy(self._native)
+            self._native = None
+
+    def on_packet(self, packet: bytes, host_stamp_ns: int) -> None:
+        if self._native:
+            buf = (ctypes.c_char * len(packet)).from_buffer_copy(packet)
+            self._lib.cct_ouster_decode(
+                self._native, buf, len(packet), ctypes.c_uint64(host_stamp_ns)
+            )
+            self._poll_native()
+        else:
+            self._decode_python(packet, host_stamp_ns)
+
+    def _poll_native(self):
+        R = self.pixels_per_column
+        max_f = self.columns_per_packet * 2
+        xyz = np.empty((max_f, R, 3), np.float32)
+        inten = np.empty((max_f, R), np.uint8)
+        stamps = np.empty((max_f, R), np.uint64)
+        n = self._lib.cct_ouster_poll(
+            self._native,
+            max_f,
+            xyz.ctypes.data_as(ctypes.c_void_p),
+            inten.ctypes.data_as(ctypes.c_void_p),
+            stamps.ctypes.data_as(ctypes.c_void_p),
+        )
+        for i in range(n):
+            self._emit(xyz[i], stamps[i], inten[i])
+
+    def _decode_python(self, packet: bytes, host_stamp_ns: int) -> None:
+        R = self.pixels_per_column
+        pixel_bytes = 12
+        col_bytes = 16 + R * pixel_bytes + 4
+        if len(packet) < col_bytes * self.columns_per_packet:
+            return
+        raw = np.frombuffer(packet, np.uint8)
+        for c in range(self.columns_per_packet):
+            col = raw[c * col_bytes : (c + 1) * col_bytes]
+            status = col[-4:].view(np.uint32)[0]
+            if status != 0xFFFFFFFF:
+                continue
+            encoder = int(col[12:16].view(np.uint32)[0])
+            theta_enc = 2.0 * math.pi * (1.0 - encoder / ENCODER_TICKS_PER_REV)
+            px = col[16 : 16 + R * pixel_bytes].reshape(R, pixel_bytes)
+            range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & 0x000FFFFF
+            signal = px[:, 6:8].copy().view(np.uint16)[:, 0]
+            valid = range_mm > 0
+            r = range_mm.astype(np.float32) * 1e-3
+            n_off = self.beam_to_origin_mm * 1e-3
+            theta = theta_enc + self.azimuth
+            rc = r - n_off
+            xyz = np.full((R, 3), np.nan, np.float32)
+            xyz[valid, 0] = (
+                rc[valid] * np.cos(theta[valid]) * np.cos(self.altitude[valid])
+                + n_off * math.cos(theta_enc)
+            )
+            xyz[valid, 1] = (
+                rc[valid] * np.sin(theta[valid]) * np.cos(self.altitude[valid])
+                + n_off * math.sin(theta_enc)
+            )
+            xyz[valid, 2] = rc[valid] * np.sin(self.altitude[valid])
+            inten = np.clip(signal.astype(np.float32), 0, 1000) * 255.0 / 1000.0
+            self._emit(
+                xyz,
+                np.full(R, host_stamp_ns, np.uint64),
+                inten.astype(np.uint8),
+            )

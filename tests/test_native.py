@@ -1,0 +1,208 @@
+"""Native C++ components vs oracle / NumPy fallbacks."""
+
+import ctypes
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from continuous_clustering_tpu import native
+from continuous_clustering_tpu.evaluation import kitti_loader as kl
+from continuous_clustering_tpu.evaluation.synthetic import (
+    frame_to_firings,
+    make_scene,
+    raycast_frame,
+)
+from continuous_clustering_tpu.ops.oracle import OracleContinuousClustering
+
+from .test_oracle import small_config
+
+NUM_ROWS = 32
+NUM_COLS = 220
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+def test_native_insertion_matches_oracle():
+    lib = native.load()
+    cfg = small_config()
+    scene = make_scene(num_boxes=6, seed=1, spread=20.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS, azimuth_jitter=0.3, seed=7)
+    firings = frame_to_firings(xyz)
+    poses = [np.eye(4) for _ in firings]
+
+    oracle = OracleContinuousClustering(cfg, NUM_ROWS)
+    oracle.set_transform_robot_from_sensor(np.eye(4))
+    oracle._segment_column = lambda gcol, pose: None
+    for f, p in zip(firings, poses):
+        oracle.add_firing(f, p)
+
+    h = lib.cct_insertion_create(NUM_ROWS, NUM_COLS, 4, 1)
+    F = len(firings)
+    xyzb = np.ascontiguousarray(np.stack([f["xyz"] for f in firings]), np.float32)
+    poseb = np.ascontiguousarray(np.stack([p[:3, :] for p in poses]), np.float64)
+    stampb = np.ascontiguousarray(np.stack([f["stamp"] for f in firings]), np.uint64)
+    uidxb = np.ascontiguousarray(np.stack([f["uidx"] for f in firings]), np.uint64)
+    intb = np.ascontiguousarray(np.stack([f["intensity"] for f in firings]), np.uint8)
+    first = ctypes.c_int64()
+    reset = ctypes.c_int32()
+    end = lib.cct_insertion_add_firings(
+        h, F,
+        xyzb.ctypes.data_as(ctypes.c_void_p),
+        poseb.ctypes.data_as(ctypes.c_void_p),
+        stampb.ctypes.data_as(ctypes.c_void_p),
+        uidxb.ctypes.data_as(ctypes.c_void_p),
+        intb.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(first), ctypes.byref(reset),
+    )
+    assert reset.value == 0
+    assert end == oracle.first_unfinished
+    assert first.value == 0
+
+    n = end - first.value
+    bufs = {
+        name: np.empty((n, NUM_ROWS), dt)
+        for name, dt in [
+            ("x", np.float32), ("y", np.float32), ("z", np.float32),
+            ("dist", np.float32), ("az", np.float32), ("inc", np.float32),
+        ]
+    }
+    caz = np.empty((n, NUM_ROWS), np.float64)
+    stamp = np.empty((n, NUM_ROWS), np.uint64)
+    uidx = np.empty((n, NUM_ROWS), np.uint64)
+    inten = np.empty((n, NUM_ROWS), np.uint8)
+    pose_idx = np.empty(n, np.int32)
+    lib.cct_insertion_fetch_columns(
+        h, first.value, end,
+        *[bufs[k].ctypes.data_as(ctypes.c_void_p) for k in ("x", "y", "z", "dist", "az", "inc")],
+        caz.ctypes.data_as(ctypes.c_void_p),
+        stamp.ctypes.data_as(ctypes.c_void_p),
+        uidx.ctypes.data_as(ctypes.c_void_p),
+        inten.ctypes.data_as(ctypes.c_void_p),
+        pose_idx.ctypes.data_as(ctypes.c_void_p),
+    )
+    lib.cct_insertion_destroy(h)
+
+    rc = cfg.ring_buffer_max_columns
+    for i, g in enumerate(range(first.value, end)):
+        lc = g % rc
+        for r in range(NUM_ROWS):
+            c = oracle.cells[lc][r]
+            o_dist = c.distance if c.global_column_index == g else np.nan
+            if np.isnan(o_dist):
+                assert np.isnan(bufs["dist"][i, r]), (i, r)
+            else:
+                np.testing.assert_allclose(bufs["dist"][i, r], o_dist, rtol=1e-6)
+                # native uses atan2f like the C++ reference; the oracle goes
+                # through double atan2 — ulp-level differences are expected
+                np.testing.assert_allclose(caz[i, r], c.continuous_azimuth_angle, atol=1e-5)
+                assert uidx[i, r] == c.globally_unique_point_index
+
+
+def test_native_range_image_matches_numpy():
+    lib = native.load()
+    rng = np.random.default_rng(0)
+    n = 5000
+    pts = np.zeros(n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"), ("i", "f4")])
+    ang = rng.uniform(-math.pi, math.pi, n)
+    r = rng.uniform(2, 50, n)
+    pts["x"] = r * np.cos(ang)
+    pts["y"] = r * np.sin(ang)
+    laser = rng.integers(0, 32, n).astype(np.int32)
+
+    ref = kl.generate_range_image(pts, laser, width=220, num_lasers=32, use_native=False)
+
+    xyz4 = np.ascontiguousarray(
+        np.stack([pts["x"], pts["y"], pts["z"], pts["i"]], axis=1), np.float32
+    )
+    out = np.full(32 * 220, -1, np.int64)
+    lib.cct_generate_range_image(
+        n, xyz4.ctypes.data_as(ctypes.c_void_p),
+        laser.ctypes.data_as(ctypes.c_void_p), 220, 32, 1,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def _vlp16_packet(azimuth_deg, dist_m=10.0, intensity=77):
+    """Build a minimal synthetic VLP-16 packet: 12 blocks, same azimuth."""
+    blocks = b""
+    for b in range(12):
+        block = struct.pack("<HH", 0xEEFF, int(azimuth_deg * 100))
+        for ch in range(32):
+            ticks = int(dist_m / 0.002)
+            block += struct.pack("<HB", ticks, intensity)
+        blocks += block
+    return blocks + b"\x00" * 6  # 1206 bytes
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_velodyne_decode(use_native):
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    dec = VelodyneInput(num_lasers=16, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_vlp16_packet(45.0), stamp_ns=1_000_000)
+    # 12 blocks x 2 firings per block = 24 firings
+    assert len(firings) == 24
+    f = firings[0]
+    assert f["xyz"].shape == (16, 3)
+    d = np.linalg.norm(f["xyz"], axis=1)
+    np.testing.assert_allclose(d, 10.0, rtol=1e-5)
+    assert np.all(f["intensity"] == 77)
+    # rows ordered top (largest vertical angle) to bottom
+    assert f["xyz"][0, 2] > f["xyz"][-1, 2]
+
+
+def _ouster_packet(info, ranges_m):
+    R = info["data_format"]["pixels_per_column"]
+    cols = info["data_format"]["columns_per_packet"]
+    out = b""
+    for c in range(cols):
+        hdr = struct.pack("<QHHI", 12345, c, 0, int(c * 90112 / 1024))
+        body = b""
+        for px in range(R):
+            rng_mm = int(ranges_m * 1000)
+            body += struct.pack("<IHHHH", rng_mm, 0, 500, 0, 0)
+        out += hdr + body + struct.pack("<I", 0xFFFFFFFF)
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_ouster_decode(use_native):
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    dec = OusterInput(info, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_ouster_packet(info, 15.0), host_stamp_ns=42)
+    assert len(firings) == info["data_format"]["columns_per_packet"]
+    f = firings[0]
+    assert f["xyz"].shape == (32, 3)
+    d = np.linalg.norm(f["xyz"], axis=1)
+    np.testing.assert_allclose(d, 15.0, rtol=0.01)
+    assert np.all(f["intensity"] == int(500 * 255 / 1000))
+
+
+def test_velodyne_native_matches_python():
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    pkts = [_vlp16_packet(a, dist_m=5 + a / 50) for a in np.linspace(0, 359, 20)]
+    results = {}
+    for mode in (True, False):
+        dec = VelodyneInput(num_lasers=16, use_native=mode)
+        out = []
+        dec.add_on_new_firing_callback(lambda f: out.append(f))
+        for i, p in enumerate(pkts):
+            dec.on_packet(p, stamp_ns=i * 10**6)
+        results[mode] = out
+    assert len(results[True]) == len(results[False])
+    for a, b in zip(results[True], results[False]):
+        # cosf/sinf vs double trig: f32-level agreement
+        np.testing.assert_allclose(a["xyz"], b["xyz"], rtol=1e-5, atol=1e-5, equal_nan=True)
+        np.testing.assert_array_equal(a["intensity"], b["intensity"])
