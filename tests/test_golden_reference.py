@@ -1,0 +1,104 @@
+"""Compare the TPU pipeline against the COMPILED C++ reference core.
+
+The reference clustering core is compiled unmodified from /root/reference
+(with a minimal Eigen shim) and driven on the same synthetic firing stream
+as our pipeline; cluster partitions and ground labels must agree.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from continuous_clustering_tpu.config import kitti_config
+from continuous_clustering_tpu.constants import (
+    GP_EGO_VEHICLE,
+    GP_FOG,
+    GP_GROUND,
+    GP_OBSTACLE,
+)
+from continuous_clustering_tpu.evaluation.partition import partition_agreement
+from continuous_clustering_tpu.evaluation.synthetic import (
+    frame_to_firings,
+    make_scene,
+    raycast_frame,
+)
+
+from .golden import runner
+from .test_pipeline import collect_oracle, collect_pipeline, small_config
+
+NUM_ROWS = 32
+NUM_COLS = 220
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not Path("/root/reference").exists(),
+    reason="reference source or compiler unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def harness(tmp_path_factory):
+    return runner.build_harness(tmp_path_factory.mktemp("golden"))
+
+
+def make_stream(num_frames=2, seed=1, num_boxes=8, jitter=0.0):
+    scene = make_scene(num_boxes=num_boxes, seed=seed, spread=20.0)
+    firings = []
+    for f in range(num_frames):
+        xyz, _ = raycast_frame(
+            scene,
+            num_rows=NUM_ROWS,
+            num_columns=NUM_COLS,
+            seed=seed + f,
+            azimuth_jitter=jitter,
+        )
+        firings += frame_to_firings(xyz, frame_index=f)
+    poses = [np.eye(4) for _ in firings]
+    return firings, poses
+
+
+@pytest.mark.parametrize("stop_assoc", [False, True])
+def test_pipeline_matches_compiled_reference(harness, tmp_path, stop_assoc):
+    firings, poses = make_stream(seed=2)
+    stream = tmp_path / f"stream_{stop_assoc}.bin"
+    runner.write_stream(
+        stream, firings, poses, NUM_COLS,
+        max_distance=0.5, stop_after_association=stop_assoc, chessboard=False,
+    )
+    ref_labels, ref_ground = runner.run_golden(
+        harness, stream, tmp_path / f"out_{stop_assoc}.bin"
+    )
+    assert len(ref_labels) > 1000
+
+    cfg = small_config(stop_after_association=stop_assoc)
+    our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
+
+    common = set(ref_labels) & set(our_labels)
+    assert len(common) > 0.95 * len(ref_labels)
+
+    g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
+    assert g_match >= 0.999, f"ground label agreement vs compiled reference: {g_match}"
+
+    agreement = partition_agreement(ref_labels, our_labels)
+    assert agreement >= 0.98, f"cluster partition agreement vs compiled reference: {agreement}"
+
+
+def test_python_oracle_matches_compiled_reference(harness, tmp_path):
+    """The Python oracle itself must track the real C++ core."""
+    firings, poses = make_stream(seed=4, num_frames=1)
+    stream = tmp_path / "stream_o.bin"
+    runner.write_stream(
+        stream, firings, poses, NUM_COLS,
+        max_distance=0.5, stop_after_association=True, chessboard=False,
+    )
+    ref_labels, ref_ground = runner.run_golden(harness, stream, tmp_path / "out_o.bin")
+
+    cfg = small_config(stop_after_association=True)
+    o_labels, o_ground = collect_oracle(cfg, firings, poses)
+    common = set(ref_labels) & set(o_labels)
+    assert len(common) > 1000
+    g_match = np.mean([ref_ground[k] == o_ground[k] for k in common])
+    assert g_match >= 0.999, f"oracle ground agreement: {g_match}"
+    agreement = partition_agreement(ref_labels, o_labels)
+    assert agreement >= 0.99, f"oracle partition agreement: {agreement}"
