@@ -33,6 +33,7 @@ from ..config import Config
 from ..io.point_cloud import POINT_DTYPE, ProcessingStage, combine_u64, stage_dtype
 from ..ops.insertion import FiringBatch
 from ..ops.state import RingState, init_state, rebase_azimuth
+from ..utils.stats import StageTimer, WorkloadRecorder
 from .step import EgoCalibration, pipeline_step
 
 TWO_PI = 2.0 * math.pi
@@ -60,6 +61,10 @@ class ContinuousClustering:
 
         self._fifo: List[Dict[str, np.ndarray]] = []
         self._fifo_poses: List[np.ndarray] = []
+
+        # observability (reference recordJobQueueWorkload analog)
+        self.stats = StageTimer()
+        self.workload = WorkloadRecorder()
 
     # ------------------------------------------------------------------ API
     def set_configuration(self, config: Config) -> None:
@@ -95,6 +100,9 @@ class ContinuousClustering:
         self._h_first_unpublished = -1
         self._h_cluster_counter = 1
         self._h_origin_rot = 0
+        self._pending_infos = []
+        self._last_pose = np.eye(4)
+        self._last_ncols = 0
         self._build_jits()
 
     def _build_jits(self) -> None:
@@ -120,9 +128,16 @@ class ContinuousClustering:
             self._process_batch()
 
     def flush(self) -> None:
-        """Process buffered firings (padding the batch)."""
+        """Process buffered firings (padding the batch) and drain async results."""
         if self._fifo:
             self._process_batch()
+        self._drain_pending()
+        # stream end: drain any surplus finished columns beyond step capacity
+        while self._last_ncols == self._batch_B and not self._reset_required:
+            calib = self._make_calib()
+            self._last_ncols = 0
+            self._run_step(self._empty_batch(), calib)
+            self._drain_pending()
 
     # ---------------------------------------------------------------- internals
     def _make_batch(self, firings, poses) -> FiringBatch:
@@ -157,36 +172,64 @@ class ContinuousClustering:
             valid=jnp.asarray(valid),
         )
 
-    def _process_batch(self) -> None:
-        firings, poses = self._fifo, self._fifo_poses
-        self._fifo, self._fifo_poses = [], []
+    def _make_calib(self) -> EgoCalibration:
         if self._ego_from_sensor is None:
             raise RuntimeError("Transform robot frame from sensor frame was not set yet!")
-
         ego = self._ego_from_sensor
         hsg = np.float32(-ego[2, 3] + self._config.ground_segmentation.height_ref_to_ground)
-        calib = EgoCalibration(
+        return EgoCalibration(
             ego_from_sensor=jnp.asarray(ego[:3, :], jnp.float32),
             height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
         )
-        batch = self._make_batch(firings, poses)
-        n_cols = self._run_step(batch, calib)
+
+    def _process_batch(self) -> None:
+        firings, poses = self._fifo, self._fifo_poses
+        self._fifo, self._fifo_poses = [], []
+        calib = self._make_calib()
+        with self.stats.track("host_batch_prep"):
+            batch = self._make_batch(firings, poses)
+        self._last_pose = poses[-1]
+        self.workload.record(fifo=len(firings), device=len(self._pending_infos))
+        with self.stats.track("device_step"):
+            n_cols = self._run_step(batch, calib)
         # If the step clamped at its column capacity there may be surplus
         # finished columns; empty batches re-advance the frontier from the
         # persistent prev_rearmost scalar and drain them.
         while n_cols == self._batch_B and not self._reset_required:
-            empty = self._make_batch([], [])
-            empty = empty._replace(
-                pose=jnp.broadcast_to(
-                    jnp.asarray(poses[-1][:3, :], jnp.float32), empty.pose.shape
-                )
-            )
-            n_cols = self._run_step(empty, calib)
+            n_cols = self._run_step(self._empty_batch(), calib)
 
         self._maybe_rebase()
 
+    def _empty_batch(self) -> FiringBatch:
+        empty = self._make_batch([], [])
+        return empty._replace(
+            pose=jnp.broadcast_to(
+                jnp.asarray(self._last_pose[:3, :], jnp.float32), empty.pose.shape
+            )
+        )
+
     def _run_step(self, batch: FiringBatch, calib) -> int:
+        """Dispatch one device step.
+
+        In async mode (is_single_threaded=False) the step's scalar results are
+        consumed one batch later, so the host processes batch k's callbacks
+        while the device runs batch k+1 (double buffering); JAX's async
+        dispatch gives the overlap for free.  Returns n_cols of the batch
+        whose results were consumed (0 if deferred).
+        """
         self._state, info = self._jit_step(self._state, batch, calib)
+        if self._config.general.is_single_threaded:
+            return self._consume_info(info)
+        self._pending_infos.append(info)
+        if len(self._pending_infos) > 1:
+            return self._consume_info(self._pending_infos.pop(0))
+        return 0
+
+    def _drain_pending(self) -> None:
+        while self._pending_infos:
+            self._consume_info(self._pending_infos.pop(0))
+
+    def _consume_info(self, info) -> int:
         if bool(info.reset_required):
             self._reset_required = True
             return 0
@@ -199,6 +242,7 @@ class ContinuousClustering:
             )
 
         n_cols = int(info.n_cols)
+        self._last_ncols = n_cols
         if n_cols == 0:
             return 0
         gcol0 = int(info.gcol0)
@@ -212,15 +256,19 @@ class ContinuousClustering:
         if self.finished_column_callback:
             self.finished_column_callback(gcol0, gcol0 + n_cols - 1, True)
         if num_new > 0 and self.finished_cluster_callback:
-            self._emit_clusters(fu_old, gcol0 + n_cols, counter_old)
+            self._emit_clusters(fu_old, gcol0 + n_cols, counter_old, counter_old + num_new)
         if fu_new > fu_old and self.finished_column_callback:
             self.finished_column_callback(fu_old, fu_new - 1, False)
         return n_cols
 
-    def _emit_clusters(self, from_gcol: int, to_gcol: int, counter_old: int) -> None:
+    def _emit_clusters(
+        self, from_gcol: int, to_gcol: int, counter_old: int, counter_new: int
+    ) -> None:
         cloud = self.get_columns(from_gcol, to_gcol - 1, ProcessingStage.CONTINUOUS_CLUSTERING)
         ids = cloud["id"]
-        new = ids >= counter_old
+        # bound above too: in async mode the state may already contain ids
+        # assigned by a later batch (they will be emitted with that batch)
+        new = (ids >= counter_old) & (ids < counter_new)
         if not np.any(new):
             return
         cloud = cloud[new]

@@ -1,0 +1,99 @@
+"""ClusteringNode wiring: sensor -> tf sync -> pipeline -> publishers."""
+
+import numpy as np
+
+from continuous_clustering_tpu.config import Config
+from continuous_clustering_tpu.evaluation.synthetic import (
+    frame_to_firings,
+    make_scene,
+    raycast_frame,
+)
+from continuous_clustering_tpu.io.node import ClusteringNode
+from continuous_clustering_tpu.io.transform_synchronizer import TransformSynchronizer
+
+NUM_ROWS = 16
+NUM_COLS = 110
+
+
+def make_node(wait_for_tf=True):
+    cfg = Config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(num_columns=NUM_COLS, ring_buffer_revolutions=4)
+    )
+    return ClusteringNode(
+        cfg,
+        sensor_manufacturer="generic_points",
+        wait_for_tf=wait_for_tf,
+        firing_batch_size=32,
+    )
+
+
+def test_node_end_to_end():
+    node = make_node()
+    ground_cols, inst_cols, clusters = [], [], []
+    node.publish_ground_columns = lambda cloud: ground_cols.append(len(cloud))
+    node.publish_instance_columns = lambda cloud: inst_cols.append(len(cloud))
+    node.publish_cluster = lambda pts, stamp: clusters.append(len(pts))
+
+    scene = make_scene(num_boxes=4, seed=0, spread=15.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS)
+
+    t0 = 1_000_000_000
+    for rev in range(2):
+        for c in range(NUM_COLS):
+            stamp = t0 + (rev * NUM_COLS + c) * 400_000
+            node.on_transform(stamp + 1, np.eye(4))
+            node.on_points(xyz[c], stamp)
+    node.flush()
+
+    assert ground_cols and inst_cols
+    assert clusters, "no clusters published through the node"
+    assert all(n > 20 for n in clusters)
+
+
+def test_node_time_jump_resets():
+    node = make_node(wait_for_tf=False)
+    scene = make_scene(num_boxes=2, seed=1, spread=10.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS)
+
+    t0 = 1_000_000_000
+    node.on_transform(t0, np.eye(4))
+    for c in range(20):
+        node.on_points(xyz[c], t0 + c * 400_000)
+    frontier_before = node.clustering._h_first_unfinished
+    # jump > 0.1 s triggers a full reset (reference …node.cpp:110-131)
+    node.on_transform(t0 + 10**10, np.eye(4))
+    node.on_points(xyz[0], t0 + 10**10)
+    assert node.clustering._h_first_unfinished == -1  # fresh pipeline
+
+
+def test_transform_synchronizer_buffers():
+    sync = TransformSynchronizer(wait_for_tf=True)
+    out = []
+    sync.set_callback(lambda msg, pose: out.append((msg, pose[0, 3])))
+    sync.add_message(100, "a")
+    assert out == []  # no tf yet
+    p = np.eye(4)
+    p[0, 3] = 7.0
+    sync.add_transform(50, np.eye(4))
+    assert out == []  # tf older than message
+    sync.add_transform(150, p)
+    assert len(out) == 1 and out[0][0] == "a"
+    # interpolated between 50 and 150 at stamp 100 -> x = 3.5
+    assert abs(out[0][1] - 3.5) < 1e-9
+
+
+def test_stats_recording():
+    node = make_node()
+    node.publish_instance_columns = lambda cloud: None
+    scene = make_scene(num_boxes=2, seed=2, spread=12.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS)
+    t0 = 1_000_000_000
+    for c in range(NUM_COLS):
+        node.on_transform(t0 + c * 400_000 + 1, np.eye(4))
+        node.on_points(xyz[c], t0 + c * 400_000)
+    node.flush()
+    s = node.clustering.stats.summary()
+    assert "device_step" in s and s["device_step"]["count"] >= 1
+    w = node.clustering.workload.summary()
+    assert "fifo" in w

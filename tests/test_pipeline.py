@@ -133,6 +133,28 @@ def test_pipeline_with_stop_heuristic():
     assert agreement >= 0.98, f"partition agreement {agreement}"
 
 
+def test_pipeline_async_mode_matches_sync():
+    """is_single_threaded=False defers scalar readbacks by one batch
+    (double buffering); results must be identical to sync mode."""
+    import dataclasses as dc
+
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=2, seed=7)
+    sync_labels, sync_ground, sync_clusters = collect_pipeline(cfg, firings, poses)
+
+    acfg = cfg.replace(general=dc.replace(cfg.general, is_single_threaded=False))
+    async_labels, async_ground, async_clusters = collect_pipeline(acfg, firings, poses)
+
+    assert sync_labels.keys() == async_labels.keys()
+    agreement = partition_agreement(sync_labels, async_labels)
+    assert agreement == 1.0, f"async vs sync agreement {agreement}"
+    assert sync_ground == async_ground
+    # same published clusters (sizes), no duplicates
+    ssizes = sorted(len(c[0]) for c in sync_clusters)
+    asizes = sorted(len(c[0]) for c in async_clusters)
+    assert ssizes == asizes
+
+
 def test_pipeline_batch_size_invariance():
     cfg = small_config(stop_after_association=False)
     firings, poses = make_stream(num_frames=1, seed=5)
