@@ -271,16 +271,21 @@ class CompleteResult(NamedTuple):
 def associate_and_complete(
     config: Config, state: RingState, inputs: AssocInputs, batch_size: int
 ) -> CompleteResult:
-    """Run association (CC update) and completion for a column batch."""
+    """Run association (CC update) and completion for a column batch.
+
+    The global union and all completion reductions operate on a *live
+    window* of ``num_columns + B + 2H`` columns starting at the publish
+    frontier — every unfrozen cell lives there (unfinished clusters are
+    force-finished before spanning a rotation) — instead of the whole ring.
+    """
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R = state.num_rows
     rc = state.ring_cols
     B = batch_size
     num_cols = config.range_image.num_columns
-    max_d = jnp.float32(cl.max_distance)
 
-    bits, active_w, wcols, lcols, mad, active_b = _edge_bits(config, state, inputs, B)
+    bits, active_w, awcols, alcols, mad, active_b = _edge_bits(config, state, inputs, B)
     WCOL = H + B
 
     max_wp = jnp.max(
@@ -294,118 +299,119 @@ def associate_and_complete(
     )
     Lw = _window_cc(config, bits, active_w, B, max_wp)
 
-    # ---- merge window components into the global parent array -----------
-    glid = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + lcols[None, :])  # (R, WCOL)
-    root_glid = jnp.take(glid.reshape(-1), Lw.reshape(-1)).reshape(R, WCOL)
-
-    parent = state.parent.reshape(-1)
-    # new batch points adopt their window root (self for singletons)
+    # association-window glids + converged window roots (as glids)
+    glid_a = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + alcols[None, :])  # (R, WCOL)
+    root_glid = jnp.take(glid_a.reshape(-1), Lw.reshape(-1)).reshape(R, WCOL)
     batch_active = active_w[:, H:]
-    parent = parent.at[glid[:, H:].reshape(-1)].set(
-        jnp.where(batch_active, root_glid[:, H:], state.parent.reshape(-1)[glid[:, H:]].reshape(R, B)).reshape(-1)
-    )
 
-    # halo cells: union(resolve(old parent), window root) — FastSV iteration
-    halo_glid = glid[:, :H].reshape(-1)
-    halo_root = root_glid[:, :H].reshape(-1)
-    halo_act = active_w[:, :H].reshape(-1)
+    # ---- live window ----------------------------------------------------
+    WIN = num_cols + B + 2 * H
+    fu_old = state.first_unpublished
+    has_data = (fu_old >= 0) & (inputs.n_cols > 0)
+    win0 = jnp.maximum(0, jnp.where(has_data, fu_old, 0))
+    # the batch must fit in the window; a violation means the frontier is
+    # stuck far beyond the force-finish bound -> surface as overflow
+    window_overflow = has_data & (inputs.gcol0 + inputs.n_cols - win0 > WIN)
+
+    wcols = win0 + jnp.arange(WIN, dtype=jnp.int32)
+    wlcols = wcols % rc
+    win0_lc = win0 % rc
+
+    def widx_of(lid):
+        """Translate a global cell lid to a window-flat index (-1 if outside)."""
+        r = lid // rc
+        l = lid % rc
+        rel = (l - win0_lc) % rc
+        ok = (lid >= 0) & (rel < WIN)
+        return jnp.where(ok, r * WIN + rel, -1)
+
+    def wtake(arr):
+        return arr[:, wlcols]  # (R, WIN)
+
+    glid_w = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + wlcols[None, :]).reshape(-1)
+
+    n_w = R * WIN
+    self_w = jnp.arange(n_w, dtype=jnp.int32)
+    parent_w = widx_of(wtake(state.parent).reshape(-1))
+    cell_has_parent = wtake(state.parent).reshape(-1) >= 0
+
+    # new batch points adopt their association-window root; masked entries
+    # get an out-of-bounds index and are dropped (never alias a real cell)
+    batch_widx = widx_of(glid_a[:, H:].reshape(-1))
+    batch_root_widx = widx_of(root_glid[:, H:].reshape(-1))
+    upd = batch_active.reshape(-1) & (batch_widx >= 0)
+    upd_idx = jnp.where(upd, batch_widx, n_w)
+    parent_w = parent_w.at[upd_idx].set(batch_root_widx, mode="drop")
+    cell_has_parent = cell_has_parent.at[upd_idx].set(True, mode="drop")
+
+    # halo cells: union(old component, window component) — FastSV iteration
+    halo_widx = widx_of(glid_a[:, :H].reshape(-1))
+    halo_root_widx = widx_of(root_glid[:, :H].reshape(-1))
+    halo_act = active_w[:, :H].reshape(-1) & (halo_widx >= 0) & (halo_root_widx >= 0)
 
     def union_cond(c):
-        parent, changed, it = c
+        p, changed, it = c
         return changed & (it < 32)
 
     def union_body(c):
-        parent, _, it = c
-        res = _resolve(parent)
-        ra = jnp.take(res, halo_glid)
-        rb = jnp.take(res, halo_root)
+        p, _, it = c
+        res = _resolve(p)
+        ra = jnp.take(res, jnp.where(halo_act, halo_widx, 0))
+        rb = jnp.take(res, jnp.where(halo_act, halo_root_widx, 0))
         lo = jnp.minimum(ra, rb)
         hi = jnp.maximum(ra, rb)
         do = halo_act & (lo != hi)
-        hi_s = jnp.where(do, hi, 0)
-        lo_s = jnp.where(do, lo, parent[0])
-        new_parent = parent.at[hi_s].min(jnp.where(do, lo_s, I32_MAX))
-        return new_parent, jnp.any(new_parent != parent), it + 1
+        new_p = p.at[jnp.where(do, hi, n_w)].min(lo, mode="drop")
+        return new_p, jnp.any(new_p != p), it + 1
 
-    parent, _, _ = jax.lax.while_loop(
-        union_cond, union_body, (parent, jnp.asarray(True), 0)
+    parent_w, _, _ = jax.lax.while_loop(
+        union_cond, union_body, (parent_w, jnp.asarray(True), 0)
     )
+    root_w = _resolve(parent_w)
 
-    # full path compression
-    resolved = _resolve(parent)
-    parent_full = jnp.where(parent >= 0, resolved, -1)
+    # ---- per-cell clustering fields (window) ----------------------------
+    cont_az_w = wtake(state.cont_az).reshape(-1)
+    finish_w = wtake(state.finish_az).reshape(-1)
+    mad_w = jnp.zeros(n_w, jnp.float32).at[upd_idx].set(mad.reshape(-1), mode="drop")
+    is_new = jnp.zeros(n_w, bool).at[upd_idx].set(True, mode="drop")
+    finish_w = jnp.where(is_new, cont_az_w + mad_w, finish_w)
 
-    # ---- write new-point clustering fields ------------------------------
-    finish_new = jnp.where(
-        batch_active,
-        jnp.take(state.cont_az.reshape(-1), glid[:, H:].reshape(-1)).reshape(R, B) + mad,
-        0.0,
-    )
-    finish_flat = state.finish_az.reshape(-1)
-    finish_flat = finish_flat.at[glid[:, H:].reshape(-1)].set(
-        jnp.where(batch_active.reshape(-1), finish_new.reshape(-1),
-                  finish_flat[glid[:, H:].reshape(-1)])
-    )
+    # ---- completion (…cpp:837-974) --------------------------------------
+    frozen_w = wtake(state.frozen).reshape(-1)
+    gcol_w = wtake(state.gcol).reshape(-1)
+    col_live = (gcol_w == jnp.broadcast_to(wcols[None, :], (R, WIN)).reshape(-1))
+    active = cell_has_parent & ~frozen_w & col_live
+    root = jnp.where(active, root_w, self_w)
 
-    state = dataclasses.replace(
-        state,
-        parent=parent_full.reshape(R, rc),
-        finish_az=finish_flat.reshape(R, rc),
-    )
-
-    # ---- completion ------------------------------------------------------
-    return _complete(config, state, inputs, B)
-
-
-def _complete(config: Config, state: RingState, inputs: AssocInputs, B: int) -> CompleteResult:
-    R = state.num_rows
-    rc = state.ring_cols
-    num_cols = config.range_image.num_columns
-    n_cells = R * rc
-    flat_idx = jnp.arange(n_cells, dtype=jnp.int32)
-
-    parent = state.parent.reshape(-1)
-    frozen = state.frozen.reshape(-1)
-    gcol = state.gcol.reshape(-1)
-    finish_az = state.finish_az.reshape(-1)
-
-    active = (parent >= 0) & ~frozen
-    root = jnp.where(active, parent, flat_idx)
-
-    # frontier azimuth: min continuous azimuth over the newest column
     newest = (inputs.gcol0 + inputs.n_cols - 1) % rc
     cur_min_az = jnp.min(state.cont_az[:, newest])
 
     big_f = jnp.float32(jnp.finfo(jnp.float32).max)
-    finish_max = jnp.full(n_cells, -big_f).at[root].max(
-        jnp.where(active, finish_az, -big_f)
-    )
-    gmin = jnp.full(n_cells, I32_MAX).at[root].min(jnp.where(active, gcol, I32_MAX))
-    gmax = jnp.full(n_cells, -1).at[root].max(jnp.where(active, gcol, -1))
-    count = jnp.zeros(n_cells, jnp.int32).at[root].add(active.astype(jnp.int32))
+    finish_max = jnp.full(n_w, -big_f).at[root].max(jnp.where(active, finish_w, -big_f))
+    gmin = jnp.full(n_w, I32_MAX).at[root].min(jnp.where(active, gcol_w, I32_MAX))
+    gmax = jnp.full(n_w, -1).at[root].max(jnp.where(active, gcol_w, -1))
+    count = jnp.zeros(n_w, jnp.int32).at[root].add(active.astype(jnp.int32))
 
-    is_root = active & (root == flat_idx)
+    is_root = active & (root == self_w)
     exceeds = (gmax + 1 - gmin) >= num_cols  # force-finish (…cpp:912-919)
     finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
 
     publish_root = finished_root & (count > 5)
     rank = jnp.cumsum(publish_root.astype(jnp.int32))
     ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
-    num_new = rank[-1]
+    num_new = jnp.where(has_data, rank[-1], 0)
 
-    # member cells inherit id/frozen from their root
-    cell_finished = active & jnp.take(finished_root, root)
-    cell_id = jnp.where(cell_finished, jnp.take(ids, root), state.cluster_id.reshape(-1))
-    frozen_new = frozen | cell_finished
+    cell_finished = active & jnp.take(finished_root, root) & has_data
+    cid_w = wtake(state.cluster_id).reshape(-1)
+    cid_w = jnp.where(cell_finished, jnp.take(ids, root), cid_w)
+    frozen_w = frozen_w | cell_finished
 
-    # frontier advance: min column over unfinished roots (…cpp:943-959)
+    # frontier advance (…cpp:943-959)
     unfinished_root = is_root & ~finished_root
     min_required = jnp.min(jnp.where(unfinished_root, gmin, I32_MAX))
     min_required = jnp.where(
         min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
     )
-    fu_old = state.first_unpublished
-    has_data = (inputs.n_cols > 0) & (fu_old >= 0)
     fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
 
     ring_start_old = state.ring_start
@@ -415,13 +421,31 @@ def _complete(config: Config, state: RingState, inputs: AssocInputs, B: int) -> 
         ring_start_old,
     )
 
+    # ---- write back ------------------------------------------------------
+    wmask = jnp.ones((1, WIN), bool)
+
+    def put(arr, flat_vals):
+        vals = flat_vals.reshape(R, WIN).astype(arr.dtype)
+        return arr.at[:, wlcols].set(jnp.where(wmask, vals, arr[:, wlcols]))
+
+    # keep the original parent where it could not be window-translated
+    # (frozen cells whose root slid out of the window)
+    orig_parent = wtake(state.parent).reshape(-1)
+    root_glid_out = jnp.where(
+        cell_has_parent,
+        jnp.where(parent_w >= 0, jnp.take(glid_w, root_w), orig_parent),
+        -1,
+    )
     state = dataclasses.replace(
         state,
-        cluster_id=cell_id.reshape(R, rc),
-        frozen=frozen_new.reshape(R, rc),
+        parent=put(state.parent, root_glid_out),
+        finish_az=put(state.finish_az, finish_w),
+        cluster_id=put(state.cluster_id, cid_w),
+        frozen=put(state.frozen, frozen_w),
         cluster_counter=state.cluster_counter + num_new,
         first_unpublished=fu_new,
         ring_start=ring_start_new,
+        overflow=state.overflow | window_overflow,
     )
     state = clear_columns(state, ring_start_old, ring_start_new - 1)
     return CompleteResult(
