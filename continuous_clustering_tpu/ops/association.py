@@ -297,7 +297,12 @@ def associate_and_complete(
             0,
         )
     )
-    Lw = _window_cc(config, bits, active_w, B, max_wp)
+    from .cc_pallas import pallas_enabled, window_cc_pallas
+
+    if pallas_enabled(B):
+        Lw = window_cc_pallas(config, bits, active_w, B, max_wp)
+    else:
+        Lw = _window_cc(config, bits, active_w, B, max_wp)
 
     # association-window glids + converged window roots (as glids)
     glid_a = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + alcols[None, :])  # (R, WCOL)
