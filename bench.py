@@ -7,12 +7,18 @@ src/clustering/continuous_clustering.cpp:337-344 if not sustained).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_PTS_PER_S = 2.2e6
+
+# fallback tiers: (ring_revolutions, firing_batch); tried in order until one
+# completes (a TPU runtime fault kills the child process, not the bench)
+TIERS = [(10, 256), (4, 256), (4, 128), (2, 64)]
 
 
 def main():
@@ -30,8 +36,15 @@ def main():
     )
 
     num_rows, num_cols = 64, 2200  # KITTI-shaped stream
-    cfg = cct.kitti_config()
-    pipe = ContinuousClustering(cfg, firing_batch_size=550)
+    ring_revs = int(os.environ.get("CCT_BENCH_RING", "10"))
+    batch = int(os.environ.get("CCT_BENCH_BATCH", "256"))
+    cfg = cct.kitti_config(single_threaded=False)
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=num_cols, ring_buffer_revolutions=ring_revs
+        )
+    )
+    pipe = ContinuousClustering(cfg, firing_batch_size=batch)
     pipe.reset(num_rows)
     pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
 
@@ -72,5 +85,32 @@ def main():
     )
 
 
+def main_with_fallback():
+    for ring, batch in TIERS:
+        env = dict(os.environ)
+        env["CCT_BENCH_CHILD"] = "1"
+        env["CCT_BENCH_RING"] = str(ring)
+        env["CCT_BENCH_BATCH"] = str(batch)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+        sys.stderr.write(
+            f"bench tier (ring={ring}, batch={batch}) failed "
+            f"(rc={r.returncode}): {r.stderr[-300:]}\n"
+        )
+    raise SystemExit("all bench tiers failed")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("CCT_BENCH_CHILD") == "1":
+        main()
+    else:
+        main_with_fallback()

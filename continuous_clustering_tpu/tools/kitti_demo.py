@@ -122,6 +122,7 @@ class KittiDemo:
                     range_image=cfg.range_image.__class__(num_columns=self.num_columns)
                 )
             pipe = ContinuousClustering(cfg, firing_batch_size=self.firing_batch)
+            self.last_pipe = pipe  # exposed for debugging/visualization
             pipe.reset(self.num_rows)
             pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
             if self.evaluate:
