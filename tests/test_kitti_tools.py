@@ -90,6 +90,29 @@ def test_ose_use_metrics_basics():
     assert r3.use > 0 and r3.ose == 0.0
 
 
+def test_kitti_demo_moving_sensor(tmp_path_factory, tmp_path, monkeypatch):
+    """Ego motion (5 m/s) exercises undo-ego-motion + pose interpolation."""
+    from continuous_clustering_tpu.tools.kitti_demo import main as demo_main
+
+    root = tmp_path_factory.mktemp("synth_move")
+    write_sequence(
+        root, "00", num_frames=2, num_boxes=6, num_rows=32, num_columns=220,
+        seed=2, speed_mps=5.0,
+    )
+    monkeypatch.chdir(tmp_path)
+    demo_main(
+        [str(root), "00", "--evaluate-fast", "--rows", "32", "--columns", "220",
+         "--firing-batch", "64"]
+    )
+    out = (tmp_path / "evaluation_results.txt").read_text()
+    ours = [l for l in out.splitlines() if "All (**Ours**)" in l][0]
+    cells = [c.strip() for c in ours.split("|")[2:8]]
+    recall = float(cells[0].split("/")[0])
+    use = float(cells[4].split("/")[0])
+    assert recall > 95.0
+    assert use < 5.0
+
+
 def test_kitti_demo_end_to_end(dataset, tmp_path, monkeypatch):
     from continuous_clustering_tpu.tools.gt_label_generator import main as gt_main
     from continuous_clustering_tpu.tools.kitti_demo import main as demo_main
