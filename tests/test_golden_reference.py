@@ -84,6 +84,69 @@ def test_pipeline_matches_compiled_reference(harness, tmp_path, stop_assoc):
     assert agreement >= 0.98, f"cluster partition agreement vs compiled reference: {agreement}"
 
 
+def test_pipeline_matches_reference_chessboard(harness, tmp_path):
+    """Chessboard subsampling on (the streaming default) changes the active
+    point set; the partitions must still agree."""
+    import dataclasses
+
+    firings, poses = make_stream(seed=6, jitter=0.2)
+    stream = tmp_path / "stream_cb.bin"
+    runner.write_stream(
+        stream, firings, poses, NUM_COLS,
+        max_distance=0.5, stop_after_association=True, chessboard=True,
+    )
+    ref_labels, ref_ground = runner.run_golden(harness, stream, tmp_path / "out_cb.bin")
+
+    cfg = small_config(stop_after_association=True)
+    cfg = cfg.replace(
+        clustering=dataclasses.replace(
+            cfg.clustering, ignore_points_in_chessboard_pattern=True
+        )
+    )
+    our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
+    common = set(ref_labels) & set(our_labels)
+    g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
+    assert g_match >= 0.999
+    agreement = partition_agreement(ref_labels, our_labels)
+    assert agreement >= 0.98, f"chessboard agreement {agreement}"
+
+
+def test_pipeline_matches_reference_moving_sensor(harness, tmp_path):
+    """Translating sensor: odom transforms + frontier unwrap under motion."""
+    scene = make_scene(num_boxes=8, seed=8, spread=20.0)
+    firings, poses = [], []
+    for f in range(2):
+        xyz, _ = raycast_frame(
+            scene,
+            num_rows=NUM_ROWS,
+            num_columns=NUM_COLS,
+            sensor_origin=(2.0 * f, 0.0, 0.0),
+            seed=8 + f,
+        )
+        # points are emitted in sensor frame by subtracting the origin
+        xyz = xyz - np.array([2.0 * f, 0.0, 0.0], np.float32)
+        firings += frame_to_firings(xyz, frame_index=f)
+        for c in range(NUM_COLS):
+            p = np.eye(4)
+            p[0, 3] = 2.0 * f + 2.0 * c / NUM_COLS
+            poses.append(p)
+    stream = tmp_path / "stream_mv.bin"
+    runner.write_stream(
+        stream, firings, poses, NUM_COLS,
+        max_distance=0.5, stop_after_association=True, chessboard=False,
+    )
+    ref_labels, ref_ground = runner.run_golden(harness, stream, tmp_path / "out_mv.bin")
+    assert len(ref_labels) > 1000
+
+    cfg = small_config(stop_after_association=True)
+    our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
+    common = set(ref_labels) & set(our_labels)
+    g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
+    assert g_match >= 0.995, f"moving-sensor ground agreement {g_match}"
+    agreement = partition_agreement(ref_labels, our_labels)
+    assert agreement >= 0.98, f"moving-sensor partition agreement {agreement}"
+
+
 def test_python_oracle_matches_compiled_reference(harness, tmp_path):
     """The Python oracle itself must track the real C++ core."""
     firings, poses = make_stream(seed=4, num_frames=1)
