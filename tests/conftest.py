@@ -22,3 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", platform)
+
+# persistent compilation cache: repeat test runs skip recompiles
+_cache = os.environ.get("CCT_COMPILE_CACHE", "/tmp/cct_xla_cache")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
