@@ -110,6 +110,20 @@ class ContinuousClustering:
         # column capacity per step: firings per batch + slack for uneven
         # column completion at stream start
         self._batch_B = self._batch_F + 32
+        # the completion live window (num_cols + B + 2H) must fit the ring;
+        # aliased window columns would silently corrupt state
+        win = (
+            cfg.range_image.num_columns
+            + self._batch_B
+            + 2 * cfg.clustering.max_steps_in_row
+        )
+        if win > cfg.ring_buffer_max_columns:
+            raise ValueError(
+                f"ring buffer too small: {cfg.ring_buffer_max_columns} columns "
+                f"< live window {win} (num_columns + firing_batch_size + 32 + "
+                f"2*max_steps_in_row). Increase ring_buffer_revolutions or "
+                f"reduce the firing batch size."
+            )
         self._jit_step = jax.jit(
             partial(pipeline_step, cfg, batch_cols=self._batch_B),
             donate_argnums=(0,),
@@ -138,6 +152,16 @@ class ContinuousClustering:
             self._last_ncols = 0
             self._run_step(self._empty_batch(), calib)
             self._drain_pending()
+        # finalization kicks: clusters that finished in the last batch hold
+        # the publish frontier for one round (reference one-round delay);
+        # empty steps release them so the stream end is fully finalized
+        if self._h_first_unfinished >= 0 and not self._reset_required:
+            for _ in range(3):
+                fu_before = self._h_first_unpublished
+                self._run_step(self._empty_batch(), self._make_calib())
+                self._drain_pending()
+                if self._h_first_unpublished == fu_before:
+                    break
 
     # ---------------------------------------------------------------- internals
     def _make_batch(self, firings, poses) -> FiringBatch:
@@ -243,20 +267,23 @@ class ContinuousClustering:
 
         n_cols = int(info.n_cols)
         self._last_ncols = n_cols
-        if n_cols == 0:
-            return 0
         gcol0 = int(info.gcol0)
-        self._h_first_unfinished = gcol0 + n_cols
         fu_old, fu_new = int(info.fu_old), int(info.fu_new)
+        if n_cols == 0 and fu_new == fu_old:
+            return 0
+        if n_cols > 0:
+            self._h_first_unfinished = gcol0 + n_cols
         counter_old = int(info.cluster_counter_old)
         num_new = int(info.num_new_clusters)
         self._h_cluster_counter = counter_old + num_new
         self._h_first_unpublished = fu_new
 
-        if self.finished_column_callback:
+        if n_cols > 0 and self.finished_column_callback:
             self.finished_column_callback(gcol0, gcol0 + n_cols - 1, True)
         if num_new > 0 and self.finished_cluster_callback:
-            self._emit_clusters(fu_old, gcol0 + n_cols, counter_old, counter_old + num_new)
+            self._emit_clusters(
+                fu_old, max(gcol0 + n_cols, fu_new), counter_old, counter_old + num_new
+            )
         if fu_new > fu_old and self.finished_column_callback:
             self.finished_column_callback(fu_old, fu_new - 1, False)
         return n_cols

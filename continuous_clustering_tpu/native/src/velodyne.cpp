@@ -73,7 +73,9 @@ struct Decoder {
     if (row < 0 || row >= cfg.num_lasers) return;
     if (!std::isnan(xyz[row * 3])) return;  // slot already filled this firing
     float va = cfg.vert_angle[laser_id];
-    float az = azimuth_rad + cfg.azimuth_offset[laser_id];
+    // velodyne rot_correction is SUBTRACTED from the raw azimuth
+    // (corrected = raw - rot_correction in the velodyne_pointcloud math)
+    float az = azimuth_rad - cfg.azimuth_offset[laser_id];
     if (dist_m <= 0.0f) {  // distance 0 => NaN return (velodyne_input.hpp:56)
       stamps[row] = stamp;
       ++points_in_firing;
@@ -97,11 +99,16 @@ struct Decoder {
     for (int b = 0; b < kBlocksPerPacket; ++b) {
       const uint8_t* block = data + b * 100;
       uint16_t flag = static_cast<uint16_t>(block[0] | (block[1] << 8));
-      if (flag != 0xEEFF && flag != 0xDDFF) continue;
-      // 0xEEFF = lasers 0-31, 0xDDFF = lasers 32-63 (VLS-128 banks differ)
-      int bank = 0;
-      if (cfg.num_lasers > kChannelsPerBlock)
-        bank = (b % blocks_per_firing) * kChannelsPerBlock;
+      // bank flags: 0xEEFF lasers 0-31, 0xDDFF 32-63, 0xCCFF 64-95 and
+      // 0xBBFF 96-127 (VLS-128)
+      int bank;
+      switch (flag) {
+        case 0xEEFF: bank = 0; break;
+        case 0xDDFF: bank = 32; break;
+        case 0xCCFF: bank = 64; break;
+        case 0xBBFF: bank = 96; break;
+        default: continue;
+      }
       float azimuth =
           static_cast<float>(block[2] | (block[3] << 8)) * 0.01f * static_cast<float>(M_PI) / 180.0f;
       for (int ch = 0; ch < kChannelsPerBlock; ++ch) {

@@ -137,7 +137,11 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
         ninc = nslice(incp)
         nact = nslice(actp)
 
-        incl_ok = jnp.abs(ninc - incb[None]) <= mad[None]  # break test (…cpp:728)
+        # break test (…cpp:728): the reference breaks on `abs(diff) > mad`,
+        # which is FALSE for NaN — walks continue through NaN-inclination
+        # cells (they are merely skipped via is_ignored), so express the
+        # non-break condition the same way
+        incl_ok = ~(jnp.abs(ninc - incb[None]) > mad[None])
         ok0 = incl_ok[V]  # dr = 0
 
         # walk reachability with break-at-first-violation semantics:
@@ -172,6 +176,30 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
 
     bits = jax.lax.map(bits_for_dc, jnp.arange(H + 1))  # (H+1, 2, R, B)
     return bits, active_w, wcols, lcols, mad, active_b
+
+
+def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
+    """Shared CC driver: alternate a sweep with pointer-jump compression
+    until the labels are stable."""
+    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
+
+    def jump(L):
+        f = L.reshape(-1)
+        f = jnp.take(f, f)
+        f = jnp.take(f, f)
+        return f.reshape(R, WCOL)
+
+    def cond(c):
+        L, changed, it = c
+        return changed & (it < max_iters)
+
+    def body(c):
+        L, _, it = c
+        L2 = jump(sweep_fn(L))
+        return L2, jnp.any(L2 != L), it + 1
+
+    L, _, _ = jax.lax.while_loop(cond, body, (wlid, jnp.asarray(True), 0))
+    return L
 
 
 def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
@@ -222,24 +250,7 @@ def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
         _, L = jax.lax.while_loop(cond, body, (jnp.int32(0), L))
         return L
 
-    def jump(L):
-        f = L.reshape(-1)
-        f = jnp.take(f, f)
-        f = jnp.take(f, f)
-        return f.reshape(R, WCOL)
-
-    def loop_cond(c):
-        L, changed, it = c
-        return changed & (it < 64)
-
-    def loop_body(c):
-        L, _, it = c
-        L2 = jump(sweep(L))
-        return L2, jnp.any(L2 != L), it + 1
-
-    L0 = wlid
-    L, _, _ = jax.lax.while_loop(loop_cond, loop_body, (L0, jnp.asarray(True), 0))
-    return L
+    return cc_converge(sweep, R, WCOL)
 
 
 def _resolve(parent_flat: jax.Array, iters: int = 0) -> jax.Array:
@@ -312,7 +323,11 @@ def associate_and_complete(
     # ---- live window ----------------------------------------------------
     WIN = num_cols + B + 2 * H
     fu_old = state.first_unpublished
-    has_data = (fu_old >= 0) & (inputs.n_cols > 0)
+    # completion also runs for empty batches (n_cols == 0) as long as a
+    # segmented column exists: clusters that finished last batch held the
+    # frontier one round (reference one-round delay) and are released here
+    newest_gcol = inputs.gcol0 + inputs.n_cols - 1
+    has_data = (fu_old >= 0) & (newest_gcol >= fu_old)
     win0 = jnp.maximum(0, jnp.where(has_data, fu_old, 0))
     # the batch must fit in the window; a violation means the frontier is
     # stuck far beyond the force-finish bound -> surface as overflow
@@ -388,7 +403,7 @@ def associate_and_complete(
     active = cell_has_parent & ~frozen_w & col_live
     root = jnp.where(active, root_w, self_w)
 
-    newest = (inputs.gcol0 + inputs.n_cols - 1) % rc
+    newest = jnp.maximum(newest_gcol, 0) % rc
     cur_min_az = jnp.min(state.cont_az[:, newest])
 
     big_f = jnp.float32(jnp.finfo(jnp.float32).max)
@@ -411,9 +426,12 @@ def associate_and_complete(
     cid_w = jnp.where(cell_finished, jnp.take(ids, root), cid_w)
     frozen_w = frozen_w | cell_finished
 
-    # frontier advance (…cpp:943-959)
-    unfinished_root = is_root & ~finished_root
-    min_required = jnp.min(jnp.where(unfinished_root, gmin, I32_MAX))
+    # frontier advance (…cpp:943-959). The reference computes the minimum
+    # over ALL current tree roots — including the ones that just finished —
+    # so just-finished clusters hold the frontier for one more round and are
+    # guaranteed to be published before their columns can be cleared; they
+    # drop out next round when frozen.
+    min_required = jnp.min(jnp.where(is_root, gmin, I32_MAX))
     min_required = jnp.where(
         min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
     )

@@ -122,23 +122,9 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
 def window_cc_pallas(config: Config, bits: jax.Array, active_w: jax.Array,
                      B: int, max_wp: jax.Array) -> jax.Array:
     """Drop-in replacement for association._window_cc using the Pallas sweep."""
+    from .association import cc_converge
+
     R, WCOL = active_w.shape
-    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
-
-    def jump(L):
-        f = L.reshape(-1)
-        f = jnp.take(f, f)
-        f = jnp.take(f, f)
-        return f.reshape(R, WCOL)
-
-    def cond(c):
-        L, changed, it = c
-        return changed & (it < 48)
-
-    def body(c):
-        L, _, it = c
-        L2 = jump(sweep_pallas(config, bits, L, max_wp))
-        return L2, jnp.any(L2 != L), it + 1
-
-    L, _, _ = jax.lax.while_loop(cond, body, (wlid, jnp.asarray(True), 0))
-    return L
+    return cc_converge(
+        lambda L: sweep_pallas(config, bits, L, max_wp), R, WCOL
+    )

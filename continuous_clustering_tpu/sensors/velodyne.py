@@ -110,10 +110,13 @@ class VelodyneInput(SensorInput):
         data = np.frombuffer(packet, dtype=np.uint8)[:1200].reshape(12, 100)
         R = self.num_lasers
         blocks_per_firing = max(1, (R + 31) // 32)
+        # bank flags: 0xEEFF lasers 0-31, 0xDDFF 32-63, 0xCCFF 64-95,
+        # 0xBBFF 96-127 (VLS-128)
+        bank_of = {0xEEFF: 0, 0xDDFF: 32, 0xCCFF: 64, 0xBBFF: 96}
         for b in range(12):
             block = data[b]
             flag = int(block[0]) | (int(block[1]) << 8)
-            if flag not in (0xEEFF, 0xDDFF):
+            if flag not in bank_of:
                 continue
             azimuth = (int(block[2]) | (int(block[3]) << 8)) * 0.01 * math.pi / 180.0
             payload = block[4:100].reshape(32, 3)
@@ -121,7 +124,7 @@ class VelodyneInput(SensorInput):
                 payload[:, 1].astype(np.uint16) << np.uint16(8)
             )
             inten = payload[:, 2]
-            bank = (b % blocks_per_firing) * 32 if R > 32 else 0
+            bank = bank_of[flag] if R > 32 else 0
             for ch in range(32):
                 if R == 16:
                     # two consecutive 16-laser firings per block
@@ -150,7 +153,8 @@ class VelodyneInput(SensorInput):
         if dist <= 0:
             return  # distance 0 => NaN (velodyne_input.hpp:56)
         va = float(self.vert[laser])
-        az = azimuth + float(self.az_off[laser])
+        # rot_correction is subtracted (velodyne_pointcloud convention)
+        az = azimuth - float(self.az_off[laser])
         cv = math.cos(va)
         self._slot_xyz[row] = (
             dist * cv * math.cos(az),

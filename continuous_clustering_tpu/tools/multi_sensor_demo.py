@@ -147,7 +147,7 @@ def _run_sharded(cfg, rows, cols, revolutions, frames):
             ]
             sbatch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
             state, info = run(state, sbatch, scalib)
-        clusters += int(jnp.sum(info.num_new_clusters))
+            clusters += int(jnp.sum(info.num_new_clusters))
     jax.block_until_ready(state.distance)
     dt = time.perf_counter() - t0
     print(
@@ -155,7 +155,7 @@ def _run_sharded(cfg, rows, cols, revolutions, frames):
             {
                 "sensors": S,
                 "mesh": dict(mesh.shape),
-                "new_clusters_last_step": clusters,
+                "total_new_clusters": clusters,
                 "wall_s": round(dt, 2),
                 "mode": "sharded",
             }
