@@ -64,9 +64,21 @@ def generate_euclidean_clustering_labels(
     xyz: np.ndarray, semantic: np.ndarray, instance: np.ndarray
 ) -> np.ndarray:
     """Returns uint16 labels (0 = none), one per point."""
-    n = len(xyz)
-    if n == 0:
+    n_all = len(xyz)
+    if n_all == 0:
         return np.zeros(0, dtype=np.uint16)
+
+    # ground/unlabeled points get label 0 regardless (…cpp:256-262) and the
+    # same-label condition isolates them from everything else, so skip
+    # clustering them entirely (the dominant point mass)
+    keep = ~(np.isin(semantic, list(GROUND_LABEL_IDS)) | (semantic == UNLABELED_ID))
+    if not keep.any():
+        return np.zeros(n_all, dtype=np.uint16)
+    keep_idx = np.flatnonzero(keep)
+    xyz = np.ascontiguousarray(xyz[keep])
+    semantic = semantic[keep]
+    instance = instance[keep]
+    n = len(xyz)
 
     cell = np.floor(xyz / MAX_DISTANCE).astype(np.int64)
     # hash cells together with the condition labels so only same-label
@@ -150,7 +162,6 @@ def generate_euclidean_clustering_labels(
             next_label += 1
     labels = remap[inverse]
 
-    # ground / unlabeled semantics are zeroed (…cpp:256-262)
-    is_ground = np.isin(semantic, list(GROUND_LABEL_IDS)) | (semantic == UNLABELED_ID)
-    labels[is_ground] = 0
-    return labels
+    out = np.zeros(n_all, dtype=np.uint16)
+    out[keep_idx] = labels
+    return out

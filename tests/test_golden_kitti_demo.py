@@ -1,0 +1,87 @@
+"""Metric-table golden: the COMPILED reference kitti_demo vs ours.
+
+Builds the reference's full kitti_demo (loader + evaluation + clustering,
+via the Eigen shim and a PCL stub), runs both demos on the same synthetic
+64x2200 dataset, and requires identical evaluation tables.
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from continuous_clustering_tpu.tools.make_synthetic_dataset import write_sequence
+
+from .golden import runner
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not runner.REFERENCE.exists(),
+    reason="reference source or compiler unavailable",
+)
+
+
+def build_demo(out_dir: Path) -> Path:
+    binary = out_dir / "ref_kitti_demo"
+    if binary.exists():
+        return binary
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-include", "functional",
+        "-I", str(runner.REFERENCE / "include"),
+        "-I", str(runner.GOLDEN_DIR / "eigen_lite"),
+        "-I", str(runner.GOLDEN_DIR / "pcl_lite"),
+        "-o", str(binary),
+        str(runner.REFERENCE / "src/tools/kitti_demo.cpp"),
+        str(runner.REFERENCE / "src/clustering/continuous_clustering.cpp"),
+        str(runner.REFERENCE / "src/evaluation/kitti_loader.cpp"),
+        str(runner.REFERENCE / "src/evaluation/kitti_evaluation.cpp"),
+        "-lpthread",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"reference kitti_demo build failed:\n{r.stderr[:2000]}")
+    return binary
+
+
+def metric_lines(text: str):
+    return [l for l in text.splitlines() if l.startswith("|")]
+
+
+def test_kitti_demo_tables_match_reference(tmp_path):
+    binary = build_demo(tmp_path)
+
+    data = tmp_path / "data"
+    write_sequence(data, "00", num_frames=2, num_boxes=10, num_rows=64,
+                   num_columns=2200, seed=5)
+    from continuous_clustering_tpu.tools.gt_label_generator import main as gt_main
+
+    gt_main([str(data), "00"])
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    r = subprocess.run(
+        [str(binary), str(data), "--evaluate-fast"],
+        cwd=ref_dir, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    ref_table = metric_lines((ref_dir / "evaluation_results.txt").read_text())
+
+    our_dir = tmp_path / "ours"
+    our_dir.mkdir()
+    import contextlib
+    import os
+
+    from continuous_clustering_tpu.tools.kitti_demo import main as demo_main
+
+    cwd = os.getcwd()
+    os.chdir(our_dir)
+    try:
+        demo_main([str(data), "00", "--evaluate-fast", "--firing-batch", "256"])
+    finally:
+        os.chdir(cwd)
+    our_table = metric_lines((our_dir / "evaluation_results.txt").read_text())
+
+    assert ref_table == our_table, (
+        "metric tables diverge:\nREF:\n" + "\n".join(ref_table)
+        + "\nOURS:\n" + "\n".join(our_table)
+    )
