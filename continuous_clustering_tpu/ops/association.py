@@ -202,6 +202,55 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
     return L
 
 
+def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array,
+                          B: int, max_wp: jax.Array) -> jax.Array:
+    """Vectorized min-label diffusion: each round is ONE big gather over all
+    (offset, cell) pairs plus a min-reduce over the offset axis, instead of
+    ~861 tiny per-offset ops.  TPU-friendly: a few MB-scale tensor ops per
+    round, fused by XLA.
+    """
+    cl = config.clustering
+    H, V = cl.max_steps_in_row, cl.max_steps_in_column
+    R, WCOL = active_w.shape
+    n_dr = 2 * V + 1
+    K = (H + 1) * n_dr
+    PW = WCOL + 2 * H
+    PH = R + 2 * V
+    inf = jnp.int32(R * WCOL)
+
+    dc_k = (jnp.arange(K, dtype=jnp.int32) // n_dr)[:, None, None]       # (K,1,1)
+    dr_k = (jnp.arange(K, dtype=jnp.int32) % n_dr - V)[:, None, None]
+
+    r_i = jnp.arange(R, dtype=jnp.int32)[None, :, None]
+    c_i = jnp.arange(WCOL, dtype=jnp.int32)[None, None, :]
+
+    # edge masks: maskL[k, r, wc] = edge from p=(r,wc) to (r+dr, wc-dc)
+    word = bits[dc_k[:, 0, 0], (jnp.arange(K) % n_dr) // 32]             # (K, R, B)
+    bit = ((word >> ((jnp.arange(K, dtype=jnp.int32) % n_dr) % 32)[:, None, None]) & 1) == 1
+    maskL = jnp.concatenate([jnp.zeros((K, R, H), bool), bit], axis=2)   # (K, R, WCOL)
+    # reversed mask: edge toward q from source p=(r-dr, wc+dc); read maskL at
+    # the source position (zero-padded)
+    mpadded = jnp.pad(maskL, ((0, 0), (V, V), (H, H)))
+    maskR = mpadded[
+        jnp.arange(K)[:, None, None],
+        V + r_i - dr_k,
+        H + c_i + dc_k,
+    ]
+
+    # neighbor flat indices into the (PH, PW) padded label grid
+    idxL = (V + r_i + dr_k) * PW + (H + c_i - dc_k)                      # (K, R, WCOL)
+    idxR = (V + r_i - dr_k) * PW + (H + c_i + dc_k)
+
+    def sweep(L):
+        Lp = jnp.pad(L, ((V, V), (H, H)), constant_values=inf).reshape(-1)
+        gl = jnp.where(maskL, Lp[idxL], inf)
+        gr = jnp.where(maskR, Lp[idxR], inf)
+        pull = jnp.minimum(jnp.min(gl, axis=0), jnp.min(gr, axis=0))
+        return jnp.minimum(L, pull)
+
+    return cc_converge(sweep, R, WCOL)
+
+
 def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
                max_wp: jax.Array) -> jax.Array:
     """Min-label diffusion + pointer jumping over the window graph.
@@ -308,12 +357,16 @@ def associate_and_complete(
             0,
         )
     )
+    import os
+
     from .cc_pallas import pallas_enabled, window_cc_pallas
 
     if pallas_enabled(B):
         Lw = window_cc_pallas(config, bits, active_w, B, max_wp)
-    else:
+    elif os.environ.get("CCT_CC", "vectorized") == "fori":
         Lw = _window_cc(config, bits, active_w, B, max_wp)
+    else:
+        Lw = _window_cc_vectorized(config, bits, active_w, B, max_wp)
 
     # association-window glids + converged window roots (as glids)
     glid_a = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + alcols[None, :])  # (R, WCOL)

@@ -32,6 +32,11 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 
+def _padded_width(WCOL: int, H: int) -> int:
+    """Lane (last-dim) extent rounded to 128 so dynamic rotates lower."""
+    return -(-(WCOL + 2 * H) // 128) * 128
+
+
 def pallas_enabled(B: int) -> bool:
     if not HAVE_PALLAS:
         return False
@@ -40,54 +45,58 @@ def pallas_enabled(B: int) -> bool:
         return False
     if mode == "1":
         return True
-    # auto: only on TPU backends and VMEM-sized batches
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return False
-    return platform in ("tpu", "axon") and B <= 512
+    # auto: currently opt-in only — the sweep kernel does not yet lower
+    # through this environment's Mosaic version (dynamic rotate / unaligned
+    # slice restrictions); the XLA offset sweep is the default
+    return False
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
-                  bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref):
+                  bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
+    """One Gauss-Seidel sweep.
+
+    Mosaic constraints shape the loop structure: dynamic sublane-offset
+    slices are unsupported, so the row offset ``dr`` is a *static* unroll
+    (static slices at any offset are fine) while the column offset ``dc``
+    is dynamic via lane-axis rotates (circular wrap only touches the
+    INF/zero borders, which is exactly what out-of-window reads should see).
+    """
     inf = jnp.int32(R * WCOL)
     n_dr = 2 * V + 1
+    PW = _padded_width(WCOL, H)
 
-    # initialize padded scratch: INF border, labels in the center
-    lpad_ref[:, :] = jnp.full((R + 2 * V, WCOL + 2 * H), inf, jnp.int32)
+    # initialize padded scratches: INF/zero borders, payload in the center
+    lpad_ref[:, :] = jnp.full((R + 2 * V, PW), inf, jnp.int32)
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
+    mpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
 
-    def body(o, _):
-        dc = o // n_dr
-        dr_idx = o % n_dr
-        word = bits_ref[dc, dr_idx // 32]          # (R, B) dynamic leading index
-        m = ((word >> (dr_idx % 32)) & 1) == 1     # (R, B) source mask
+    def body(dc, _):
+        w0 = bits_ref[dc, 0]  # (R, B) — dynamic leading index is fine
+        w1 = bits_ref[dc, 1]
+        for dr_idx in range(n_dr):  # static unroll over row offsets
+            word = w0 if dr_idx < 32 else w1
+            m = ((word >> (dr_idx % 32)) & 1) == 1  # (R, B)
+            mfull = jnp.concatenate(
+                [jnp.zeros((R, H), jnp.bool_), m], axis=1
+            )  # (R, WCOL) source mask at batch columns
+            mpad_ref[V : V + R, 2 * H : 2 * H + B] = m.astype(jnp.int32)
 
-        cur = lpad_ref[V : V + R, H : H + WCOL]    # (R, WCOL) current labels
+            cur = lpad_ref[V : V + R, H : H + WCOL]
 
-        # pull-left: batch point p at window col H+b pulls neighbor
-        # (r + dr, (H + b) - dc); Lpad coords: row dr_idx + r, col 2H + b - dc
-        nb = lpad_ref[pl.ds(dr_idx, R), pl.ds(2 * H - dc, B)]
-        cur_b = cur[:, H:]
-        upd_b = jnp.minimum(cur_b, jnp.where(m, nb, inf))
+            # pull-left: p pulls (r + dr, wc - dc)
+            a = lpad_ref[dr_idx : dr_idx + R, :]              # rows r + dr
+            nb = pltpu.roll(a, dc, axis=1)[:, H : H + WCOL]   # cols - dc
+            upd = jnp.minimum(cur, jnp.where(mfull, nb, inf))
 
-        # pull-right: target q at any window col wc pulls source p at
-        # (r - dr, wc + dc) when p's mask bit is set; build the shifted
-        # source values/masks from the padded scratch
-        src = lpad_ref[pl.ds(2 * V - dr_idx, R), pl.ds(H + dc, WCOL)]
-        # shifted mask: source must be a batch point with the bit set;
-        # embed m into a padded zero field once per offset
-        mpad = jnp.zeros((R + 2 * V, WCOL + 2 * H), jnp.int32)
-        mpad = jax.lax.dynamic_update_slice(
-            mpad, m.astype(jnp.int32), (V, 2 * H)
-        )
-        ms = jax.lax.dynamic_slice(
-            mpad, (2 * V - dr_idx, H + dc), (R, WCOL)
-        ) == 1
-        upd = jnp.minimum(cur, jnp.where(ms, src, inf))
-        upd = upd.at[:, H:].min(upd_b)
+            # pull-right: q pulls source p at (r - dr, wc + dc), gated on
+            # p's mask bit (shifted from the mask scratch)
+            b = lpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
+            src = pltpu.roll(b, -dc, axis=1)[:, H : H + WCOL]
+            mrow = mpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
+            ms = pltpu.roll(mrow, -dc, axis=1)[:, H : H + WCOL] == 1
+            upd = jnp.minimum(upd, jnp.where(ms, src, inf))
 
-        lpad_ref[V : V + R, H : H + WCOL] = upd
+            lpad_ref[V : V + R, H : H + WCOL] = upd
         return 0
 
     jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
@@ -101,8 +110,7 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R, WCOL = L.shape
     B = WCOL - H
-    n_dr = 2 * V + 1
-    upper = (jnp.minimum(max_wp, H) + 1) * n_dr
+    upper = jnp.minimum(max_wp, H) + 1  # fori over dc; dr is unrolled
 
     kernel = functools.partial(_sweep_kernel, H, V, R, B, WCOL)
     return pl.pallas_call(
@@ -114,7 +122,10 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # labels in
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((R + 2 * V, WCOL + 2 * H), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((R + 2 * V, _padded_width(WCOL, H)), jnp.int32),
+            pltpu.VMEM((R + 2 * V, _padded_width(WCOL, H)), jnp.int32),
+        ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(bits, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)
 
