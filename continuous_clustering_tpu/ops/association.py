@@ -119,62 +119,64 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     incp = vpad(incw, jnp.nan)
     actp = vpad(active_w, False)
 
-    def bits_for_dc(dc):
-        # neighbor cell at (r + dr, b + H - dc) in window coords
-        base = H - dc  # column start offset into window for dr slices
+    # vectorized over ALL (dc, dr) offsets at once: neighbor values come from
+    # one gather per field into the padded flat arrays (TPU-friendly; no
+    # sequential lax.map over column offsets)
+    n_dr = 2 * V + 1
+    ND = H + 1
+    PW = WCOL  # horizontal padding is implicit: wc - dc >= 0 - H handled below
+    dc_a = jnp.arange(ND, dtype=jnp.int32)[:, None, None, None]   # (ND,1,1,1)
+    dr_a = jnp.arange(n_dr, dtype=jnp.int32)[None, :, None, None] - V
+    r_a = jnp.arange(R, dtype=jnp.int32)[None, None, :, None]
+    b_a = jnp.arange(B, dtype=jnp.int32)[None, None, None, :]
 
-        def nslice(arr):
-            # (2V+1, R, B): arr[(V + dr) + r, base + b] for dr in -V..V
-            return jnp.stack(
-                [
-                    jax.lax.dynamic_slice(arr, (k, base), (R, B))
-                    for k in range(2 * V + 1)
-                ],
-                axis=0,
-            )
+    # neighbor of batch point (r, H+b) at (r + dr, H + b - dc), in the
+    # vertically padded arrays (rows offset by V); columns never underflow
+    # because dc <= H and the window has an H-column halo
+    flat_idx = (V + r_a + dr_a) * WCOL + (H + b_a - dc_a)  # (ND, n_dr, R, B)
 
-        nx, ny, nz = nslice(xp), nslice(yp), nslice(zp)
-        ninc = nslice(incp)
-        nact = nslice(actp)
+    def g(arr_padded):
+        return arr_padded.reshape(-1)[flat_idx]
 
-        # break test (…cpp:728): the reference breaks on `abs(diff) > mad`,
-        # which is FALSE for NaN — walks continue through NaN-inclination
-        # cells (they are merely skipped via is_ignored), so express the
-        # non-break condition the same way
-        incl_ok = ~(jnp.abs(ninc - incb[None]) > mad[None])
-        ok0 = incl_ok[V]  # dr = 0
+    nx, ny, nz = g(xp), g(yp), g(zp)
+    ninc = g(incp)
+    nact = g(actp)
 
-        # walk reachability with break-at-first-violation semantics:
-        #   up walk tests ok(0), ok(-1), … for dc>0, but starts at ok(-1) for
-        #   dc==0 (…cpp:712-717); the down walk (dc>0 only) starts at ok(+1)
-        #   and never tests ok(0).
-        up_excl0 = jnp.cumprod(
-            incl_ok[V - 1 :: -1].astype(jnp.int8), axis=0
-        )[::-1].astype(bool)  # (V, R, B): index k ↔ dr = k - V, AND of ok(-1..dr)
-        down_excl0 = jnp.cumprod(
-            incl_ok[V + 1 :].astype(jnp.int8), axis=0
-        ).astype(bool)  # (V, R, B): index k ↔ dr = k + 1, AND of ok(+1..dr)
+    # break test (…cpp:728): the reference breaks on `abs(diff) > mad`, which
+    # is FALSE for NaN — walks continue through NaN-inclination cells (they
+    # are merely skipped via is_ignored)
+    incl_ok = ~(jnp.abs(ninc - incb[None, None]) > mad[None, None])  # (ND,n_dr,R,B)
+    ok0 = incl_ok[:, V]  # (ND, R, B)
 
-        is_dc0 = dc == 0
-        up_edge = up_excl0 & jnp.where(is_dc0, True, ok0)[None]
-        dr0_edge = (ok0 & ~is_dc0)[None]
-        down_edge = down_excl0 & ~is_dc0
-        reach = jnp.concatenate([up_edge, dr0_edge, down_edge], axis=0)  # (2V+1,R,B)
+    # walk reachability with break-at-first-violation semantics:
+    #   up walk tests ok(0), ok(-1), … for dc>0, but starts at ok(-1) for
+    #   dc==0 (…cpp:712-717); the down walk (dc>0 only) starts at ok(+1)
+    #   and never tests ok(0).
+    up_excl0 = jnp.cumprod(
+        incl_ok[:, V - 1 :: -1].astype(jnp.int8), axis=1
+    )[:, ::-1].astype(bool)  # (ND, V, R, B): index k ↔ dr = k - V
+    down_excl0 = jnp.cumprod(
+        incl_ok[:, V + 1 :].astype(jnp.int8), axis=1
+    ).astype(bool)  # (ND, V, R, B): index k ↔ dr = k + 1
 
-        dx, dy, dz = nx - xb[None], ny - yb[None], nz - zb[None]
-        close = (dx * dx + dy * dy + dz * dz) < max_d2
+    is_dc0 = (dc_a == 0)[:, 0]  # (ND,1,1) -> broadcast (ND, R, B)
+    up_edge = up_excl0 & jnp.where(is_dc0, True, ok0)[:, None]
+    dr0_edge = (ok0 & ~is_dc0)[:, None]
+    down_edge = down_excl0 & ~is_dc0[:, None]
+    reach = jnp.concatenate([up_edge, dr0_edge, down_edge], axis=1)
 
-        edge = reach & close & nact & active_b[None] & (dc <= wp)[None]
+    dx, dy, dz = nx - xb[None, None], ny - yb[None, None], nz - zb[None, None]
+    close = (dx * dx + dy * dy + dz * dz) < max_d2
 
-        # pack the 2V+1 dr-bits into two i32 words (bit = dr + V, word = bit//32)
-        dr_idx = jnp.arange(2 * V + 1, dtype=jnp.int32)
-        shifts = jnp.left_shift(jnp.int32(1), dr_idx % 32)[:, None, None]
-        in_w0 = (dr_idx < 32)[:, None, None]
-        w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=0).astype(jnp.int32)
-        w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=0).astype(jnp.int32)
-        return jnp.stack([w0, w1], axis=0)  # (2, R, B)
+    edge = reach & close & nact & active_b[None, None] & (dc_a[:, 0, :, :][:, None] <= wp[None, None])
 
-    bits = jax.lax.map(bits_for_dc, jnp.arange(H + 1))  # (H+1, 2, R, B)
+    # pack the 2V+1 dr-bits into two i32 words (bit = dr + V, word = bit//32)
+    dr_idx = jnp.arange(n_dr, dtype=jnp.int32)
+    shifts = jnp.left_shift(jnp.int32(1), dr_idx % 32)[None, :, None, None]
+    in_w0 = (dr_idx < 32)[None, :, None, None]
+    w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
+    w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
+    bits = jnp.stack([w0, w1], axis=1)  # (ND, 2, R, B)
     return bits, active_w, wcols, lcols, mad, active_b
 
 
