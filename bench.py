@@ -38,6 +38,7 @@ def main():
     num_rows, num_cols = 64, 2200  # KITTI-shaped stream
     ring_revs = int(os.environ.get("CCT_BENCH_RING", "10"))
     batch = int(os.environ.get("CCT_BENCH_BATCH", "256"))
+    mode = os.environ.get("CCT_BENCH_MODE", "scan")
     cfg = cct.kitti_config(single_threaded=False)
     cfg = cfg.replace(
         range_image=cfg.range_image.__class__(
@@ -61,16 +62,46 @@ def main():
         ):
             pipe.add_firing(f, np.eye(4))
 
-    # warmup: compile + settle
-    feed_rev(0)
-    pipe.flush()
+    if mode == "scan":
+        # device-resident multi-batch mode: one dispatch per revolution
+        import jax
 
-    n_rev = 4
-    t0 = time.perf_counter()
-    for k in range(1, n_rev + 1):
-        feed_rev(k)
-    pipe.flush()
-    t1 = time.perf_counter()
+        from continuous_clustering_tpu.models.throughput import (
+            make_scan_runner,
+            stack_batches,
+        )
+
+        firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10**8)
+        per_step = []
+        for start in range(0, num_cols, batch):
+            chunk = firings[start : start + batch]
+            per_step.append(
+                pipe._make_batch(chunk, [np.eye(4)] * len(chunk))
+            )
+        stacked = stack_batches(per_step)
+        runner = make_scan_runner(cfg, pipe._batch_B)
+        state = pipe.state
+        state, _ = runner(state, stacked, pipe._make_calib())  # warmup/compile
+        jax.block_until_ready(state.distance)
+
+        n_rev = 6
+        t0 = time.perf_counter()
+        for _ in range(n_rev):
+            state, infos = runner(state, stacked, pipe._make_calib())
+        jax.block_until_ready(state.distance)
+        t1 = time.perf_counter()
+        if bool(state.overflow):
+            raise RuntimeError("ring overflow during bench")
+    else:
+        # streaming mode with host callbacks path
+        feed_rev(0)
+        pipe.flush()
+        n_rev = 4
+        t0 = time.perf_counter()
+        for k in range(1, n_rev + 1):
+            feed_rev(k)
+        pipe.flush()
+        t1 = time.perf_counter()
 
     pts_per_s = n_rev * n_points_per_rev / (t1 - t0)
     print(
