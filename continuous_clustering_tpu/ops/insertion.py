@@ -53,181 +53,172 @@ class InsertResult(NamedTuple):
     rearmost_per_firing: jax.Array  # (F,) i32: prev_rearmost after each firing
 
 
-def _insert_one(config: Config, state: RingState, firing) -> Tuple[RingState, jax.Array]:
+def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> InsertResult:
+    """Insert a batch of firings: slim scan + one vectorized field apply.
+
+    The only truly sequential dependency per firing is the rotation-unwrap
+    recurrence and the distance-occupancy of the ring (collision shift /
+    nearer-point priority).  The scan therefore carries ONLY the distance
+    plane plus the frontier scalars (one scatter per step); all other cell
+    fields are written afterwards in a single batched scatter where the
+    winner of each cell is the accepted write with the minimum distance —
+    identical to the sequential outcome because every accepted overwrite is
+    strictly nearer than its predecessor (…cpp:205).
+    """
     num_cols = config.range_image.num_columns
     rc = config.ring_buffer_max_columns
     az_width = jnp.float32(2.0 * math.pi / num_cols)  # f32 like …cpp:16
     half = num_cols // 2
     R = state.num_rows
     rows = jnp.arange(R, dtype=jnp.int32)
+    F = batch.xyz.shape[0]
 
-    xyz, pose = firing["xyz"], firing["pose"]
-    sensor_pos = pose[:, 3]  # (3,)
-    # 3x3 transform written as elementwise VPU ops: a tiny matmul would hit
-    # the MXU at bf16 default precision and cost ~1e-3 relative error
-    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    p_odom = jnp.stack(
-        [
-            pose[i, 0] * px + pose[i, 1] * py + pose[i, 2] * pz + pose[i, 3]
-            for i in range(3)
-        ],
-        axis=1,
-    )  # (R, 3)
-    p_rel = p_odom - sensor_pos
+    def step(carry, f):
+        (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+         ring_start, ring_end, first_unpublished, reset_required) = carry
 
-    valid = ~jnp.isnan(xyz[:, 0]) & firing["valid"]
+        valid = ~jnp.isnan(f["xyz"][:, 0]) & f["valid"] & ~reset_required
+        pose = f["pose"]
+        sensor_pos = pose[:, 3]
+        px, py, pz = f["xyz"][:, 0], f["xyz"][:, 1], f["xyz"][:, 2]
+        # elementwise 3x3 transform (MXU bf16 default would cost precision)
+        p_odom = jnp.stack(
+            [pose[i, 0] * px + pose[i, 1] * py + pose[i, 2] * pz + pose[i, 3]
+             for i in range(3)],
+            axis=1,
+        )
+        p_rel = p_odom - sensor_pos
 
-    azimuth = jnp.arctan2(xyz[:, 1], xyz[:, 0])  # sensor frame (…cpp:142)
-    pi32 = jnp.float32(math.pi)
-    if config.range_image.sensor_is_clockwise:
-        inc_az = -azimuth + pi32
-    else:
-        inc_az = azimuth + pi32
+        azimuth = jnp.arctan2(py, px)  # sensor frame (…cpp:142)
+        pi32 = jnp.float32(math.pi)
+        if config.range_image.sensor_is_clockwise:
+            inc_az = -azimuth + pi32
+        else:
+            inc_az = azimuth + pi32
 
-    # sanitize NaN azimuths before the int cast (their rows never write)
-    col_in_rot = (jnp.where(valid, inc_az, 0.0) / az_width).astype(jnp.int32)  # (R,)
-    prev_rot = state.prev_rearmost // num_cols
-    gcol = prev_rot * num_cols + col_in_rot
-    col_prev = state.prev_rearmost % num_cols
-    diff = col_in_rot - col_prev
-    wrap_fwd = diff < -half  # crossed negative x-axis (…cpp:161)
-    wrap_back = (state.prev_rearmost > 0) & (diff > half)  # …cpp:166
-    rot_off = jnp.where(wrap_fwd, 1, jnp.where(wrap_back, -1, 0))
-    gcol = gcol + rot_off * num_cols
+        col_in_rot = (jnp.where(valid, inc_az, 0.0) / az_width).astype(jnp.int32)
+        prev_rot = prev_rearmost // num_cols
+        gcol = prev_rot * num_cols + col_in_rot
+        diff = col_in_rot - prev_rearmost % num_cols
+        wrap_fwd = diff < -half                      # …cpp:161
+        wrap_back = (prev_rearmost > 0) & (diff > half)  # …cpp:166
+        rot_off = jnp.where(wrap_fwd, 1, jnp.where(wrap_back, -1, 0))
+        gcol = gcol + rot_off * num_cols
 
-    distance = jnp.sqrt(jnp.sum(p_rel * p_rel, axis=1))
-    distance = jnp.where(valid, distance, jnp.nan)
+        distance = jnp.sqrt(jnp.sum(p_rel * p_rel, axis=1))
+        distance = jnp.where(valid, distance, jnp.nan)
 
-    lcol = jnp.where(valid, gcol % rc, 0)
-    old_dist = state.distance[rows, lcol]
-    next_lcol = (lcol + 1) % rc
-    next_dist = state.distance[rows, next_lcol]
-    shift = (~jnp.isnan(old_dist)) & (~jnp.isnan(distance)) & jnp.isnan(next_dist)
-    lcol = jnp.where(shift, next_lcol, lcol)
-    gcol = gcol + shift.astype(jnp.int32)
-    old2 = jnp.where(shift, next_dist, old_dist)
+        lcol = jnp.where(valid, gcol % rc, 0)
+        old_dist = dist_ring[rows, lcol]
+        next_lcol = (lcol + 1) % rc
+        next_dist = dist_ring[rows, next_lcol]
+        shift = (~jnp.isnan(old_dist)) & (~jnp.isnan(distance)) & jnp.isnan(next_dist)
+        lcol = jnp.where(shift, next_lcol, lcol)
+        gcol = gcol + shift.astype(jnp.int32)
+        old2 = jnp.where(shift, next_dist, old_dist)
 
-    # drop if target cell already holds a nearer (or equal) point (…cpp:205)
-    refused = (~jnp.isnan(old2)) & (jnp.isnan(distance) | (distance >= old2))
-    tracked = valid & ~refused
-    behind = (state.first_unfinished >= 0) & (gcol < state.first_unfinished)
-    write = tracked & ~behind
+        refused = (~jnp.isnan(old2)) & (jnp.isnan(distance) | (distance >= old2))
+        tracked = valid & ~refused
+        behind = (first_unfinished >= 0) & (gcol < first_unfinished)
+        write = tracked & ~behind
 
-    cont_az = (
-        jnp.float32(2.0 * math.pi)
-        * (prev_rot + rot_off - state.origin_rot).astype(jnp.float32)
-        + inc_az
+        dist_ring = dist_ring.at[rows, lcol].set(
+            jnp.where(write, distance, dist_ring[rows, lcol])
+        )
+
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        rearmost = jnp.min(jnp.where(tracked, gcol, big))
+        foremost = jnp.max(jnp.where(tracked, gcol, -1))
+        any_tracked = jnp.any(tracked)
+        invalid_span = any_tracked & ((foremost - rearmost) > half)  # …cpp:252
+
+        ok = any_tracked & ~invalid_span
+        prev_rearmost = jnp.where(ok & (rearmost > prev_rearmost), rearmost, prev_rearmost)
+        prev_foremost = jnp.where(ok & (foremost > prev_foremost), foremost, prev_foremost)
+
+        have_data = prev_foremost >= 0
+        ring_start = jnp.where(have_data & (ring_start == -1), prev_rearmost, ring_start)
+        first_unpublished = jnp.where(
+            have_data & (first_unpublished == -1), prev_rearmost, first_unpublished
+        )
+        ring_end = jnp.where(have_data & (prev_foremost > ring_end), prev_foremost, ring_end)
+        first_unfinished = jnp.where(
+            have_data & (first_unfinished == -1), prev_rearmost, first_unfinished
+        )
+        # reference while loop (…cpp:289-291): columns [first_unfinished,
+        # prev_rearmost) are handed to segmentation
+        first_unfinished = jnp.where(
+            have_data & (first_unfinished < prev_rearmost), prev_rearmost, first_unfinished
+        )
+        reset_required = reset_required | invalid_span
+
+        carry = (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+                 ring_start, ring_end, first_unpublished, reset_required)
+        cont_az = (
+            jnp.float32(2.0 * math.pi)
+            * (prev_rot + rot_off - state.origin_rot).astype(jnp.float32)
+            + inc_az
+        )
+        inclination = jnp.arcsin(p_rel[:, 2].astype(jnp.float32) / distance)
+        finished_up_to = jnp.where(have_data, prev_rearmost, jnp.int32(-1))
+        ys = dict(
+            lcol=lcol, gcol=gcol, write=write, distance=distance,
+            azimuth=azimuth, inclination=inclination, cont_az=cont_az,
+            x=p_odom[:, 0], y=p_odom[:, 1], z=p_odom[:, 2],
+            finished_up_to=finished_up_to,
+        )
+        return carry, ys
+
+    firings = {
+        "xyz": batch.xyz, "pose": batch.pose, "valid": batch.valid,
+    }
+    carry0 = (
+        state.distance, state.prev_rearmost, state.prev_foremost,
+        state.first_unfinished, state.ring_start, state.ring_end,
+        state.first_unpublished, state.reset_required,
     )
-    inclination = jnp.arcsin(p_rel[:, 2].astype(jnp.float32) / distance)
+    carry, ys = jax.lax.scan(step, carry0, firings)
+    (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+     ring_start, ring_end, first_unpublished, reset_required) = carry
 
-    def scatter(arr, values):
-        return arr.at[rows, lcol].set(jnp.where(write, values.astype(arr.dtype), arr[rows, lcol]))
+    # winner of each cell = accepted write matching the final distance plane
+    lcol = ys["lcol"].reshape(-1)
+    write = ys["write"].reshape(-1)
+    row_idx = jnp.broadcast_to(rows[None, :], (F, R)).reshape(-1)
+    final_d = dist_ring[row_idx, lcol]
+    winner = write & (ys["distance"].reshape(-1) == final_d)
+    sr = jnp.where(winner, row_idx, R)  # out-of-bounds rows drop losers
+    sc = lcol
 
+    def put(arr, vals):
+        return arr.at[sr, sc].set(vals.reshape(-1).astype(arr.dtype), mode="drop")
+
+    fidx = jnp.broadcast_to(batch.firing_index[:, None], (F, R))
     new_state = dataclasses.replace(
         state,
-        x=scatter(state.x, p_odom[:, 0]),
-        y=scatter(state.y, p_odom[:, 1]),
-        z=scatter(state.z, p_odom[:, 2]),
-        distance=scatter(state.distance, distance),
-        azimuth=scatter(state.azimuth, azimuth),
-        inclination=scatter(state.inclination, inclination),
-        cont_az=scatter(state.cont_az, cont_az),
-        gcol=scatter(state.gcol, gcol),
-        stamp_lo=scatter(state.stamp_lo, firing["stamp_lo"]),
-        stamp_hi=scatter(state.stamp_hi, firing["stamp_hi"]),
-        uidx_lo=scatter(state.uidx_lo, firing["uidx_lo"]),
-        uidx_hi=scatter(state.uidx_hi, firing["uidx_hi"]),
-        intensity=scatter(state.intensity, firing["intensity"]),
-        firing_index=scatter(
-            state.firing_index, jnp.broadcast_to(firing["firing_index"], (R,))
-        ),
-    )
-
-    # rearmost / foremost tracking over tracked points (…cpp:241-244)
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    rearmost = jnp.min(jnp.where(tracked, gcol, big))
-    foremost = jnp.max(jnp.where(tracked, gcol, -1))
-    any_tracked = jnp.any(tracked)
-
-    # invalid first firing: spans more than half a rotation (…cpp:252)
-    invalid_span = any_tracked & ((foremost - rearmost) > half)
-
-    prev_rearmost = jnp.where(
-        any_tracked & ~invalid_span & (rearmost > state.prev_rearmost),
-        rearmost,
-        state.prev_rearmost,
-    )
-    prev_foremost = jnp.where(
-        any_tracked & ~invalid_span & (foremost > state.prev_foremost),
-        foremost,
-        state.prev_foremost,
-    )
-
-    have_data = prev_foremost >= 0
-    ring_start = jnp.where(
-        have_data & (state.ring_start == -1), prev_rearmost, state.ring_start
-    )
-    first_unpublished = jnp.where(
-        have_data & (state.first_unpublished == -1),
-        prev_rearmost,
-        state.first_unpublished,
-    )
-    ring_end = jnp.where(
-        have_data & (prev_foremost > state.ring_end), prev_foremost, state.ring_end
-    )
-    first_unfinished = jnp.where(
-        have_data & (state.first_unfinished == -1),
-        prev_rearmost,
-        state.first_unfinished,
-    )
-    # the reference's while loop (…cpp:289-291) hands columns
-    # [first_unfinished, prev_rearmost) to segmentation and advances the
-    # frontier; the caller segments that range after the batch
-    first_unfinished = jnp.where(
-        have_data & (first_unfinished < prev_rearmost), prev_rearmost, first_unfinished
-    )
-
-    new_state = dataclasses.replace(
-        new_state,
+        distance=dist_ring,
+        x=put(state.x, ys["x"]),
+        y=put(state.y, ys["y"]),
+        z=put(state.z, ys["z"]),
+        azimuth=put(state.azimuth, ys["azimuth"]),
+        inclination=put(state.inclination, ys["inclination"]),
+        cont_az=put(state.cont_az, ys["cont_az"]),
+        gcol=put(state.gcol, ys["gcol"]),
+        stamp_lo=put(state.stamp_lo, batch.stamp_lo),
+        stamp_hi=put(state.stamp_hi, batch.stamp_hi),
+        uidx_lo=put(state.uidx_lo, batch.uidx_lo),
+        uidx_hi=put(state.uidx_hi, batch.uidx_hi),
+        intensity=put(state.intensity, batch.intensity),
+        firing_index=put(state.firing_index, fidx),
         prev_rearmost=prev_rearmost,
         prev_foremost=prev_foremost,
+        first_unfinished=first_unfinished,
         ring_start=ring_start,
         ring_end=ring_end,
         first_unpublished=first_unpublished,
-        first_unfinished=first_unfinished,
-        reset_required=state.reset_required | invalid_span,
+        reset_required=reset_required,
     )
-    # columns < prev_rearmost are finished; the caller segments
-    # [first_unfinished_before_batch, final prev_rearmost)
-    finished_up_to = jnp.where(have_data, prev_rearmost, jnp.int32(-1))
-    return new_state, finished_up_to
-
-
-def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> InsertResult:
-    """Insert a batch of firings sequentially (lax.scan)."""
-
-    def step(carry: RingState, f):
-        # once a reset is required the reference node drops everything until
-        # reset; mask out remaining firings in the batch
-        active = f["valid"] & ~carry.reset_required
-        f = dict(f)
-        f["valid"] = active
-        new_carry, finished_up_to = _insert_one(config, carry, f)
-        return new_carry, finished_up_to
-
-    firings = {
-        "xyz": batch.xyz,
-        "pose": batch.pose,
-        "stamp_lo": batch.stamp_lo,
-        "stamp_hi": batch.stamp_hi,
-        "uidx_lo": batch.uidx_lo,
-        "uidx_hi": batch.uidx_hi,
-        "intensity": batch.intensity,
-        "firing_index": batch.firing_index,
-        "valid": batch.valid,
-    }
-    final_state, finished = jax.lax.scan(step, state, firings)
-    return InsertResult(state=final_state, rearmost_per_firing=finished)
+    return InsertResult(state=new_state, rearmost_per_firing=ys["finished_up_to"])
 
 
 def insert_firings_jit(config: Config):
