@@ -189,6 +189,37 @@ def test_ouster_decode(use_native):
     assert np.all(f["intensity"] == int(500 * 255 / 1000))
 
 
+def _vls128_packet(azimuth_deg, dist_m=20.0):
+    """Four bank flags covering lasers 0-127 at one azimuth."""
+    flags = [0xEEFF, 0xDDFF, 0xCCFF, 0xBBFF]
+    blocks = b""
+    for b in range(12):
+        flag = flags[b % 4]
+        block = struct.pack("<HH", flag, int(azimuth_deg * 100))
+        for ch in range(32):
+            block += struct.pack("<HB", int(dist_m / 0.004), 50)
+        blocks += block
+    return blocks + b"\x00" * 6
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_vls128_all_banks_decoded(use_native):
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    dec = VelodyneInput(num_lasers=128, distance_resolution=0.004, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_vls128_packet(90.0), stamp_ns=0)
+    # 12 blocks / 4 banks-per-firing = 3 complete firings
+    assert len(firings) == 3
+    f = firings[0]
+    assert f["xyz"].shape == (128, 3)
+    filled = ~np.isnan(f["xyz"][:, 0])
+    assert filled.all(), f"only {filled.sum()}/128 rows decoded"
+    d = np.linalg.norm(f["xyz"], axis=1)
+    np.testing.assert_allclose(d, 20.0, rtol=1e-4)
+
+
 def test_velodyne_native_matches_python():
     from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
 
