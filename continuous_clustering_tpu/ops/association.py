@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .state import RingState, clear_columns
+from .state import RingState, clear_columns, ring_read
 
 I32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -87,9 +87,10 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
 
     wcols, lcols = _window_arrays(config, state, inputs.gcol0, B)
     WCOL = H + B
+    lc0 = (inputs.gcol0 - H) % rc
 
     def take(arr):
-        return arr[:, lcols]
+        return ring_read(arr, lc0, WCOL)
 
     xw, yw, zw = take(state.x), take(state.y), take(state.z)
     incw = take(state.inclination)
@@ -133,10 +134,26 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     # neighbor of batch point (r, H+b) at (r + dr, H + b - dc), in the
     # vertically padded arrays (rows offset by V); columns never underflow
     # because dc <= H and the window has an H-column halo
-    flat_idx = (V + r_a + dr_a) * WCOL + (H + b_a - dc_a)  # (ND, n_dr, R, B)
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    if platform in ("tpu", "axon"):
+        # static slices (TPU gathers lower near-serially)
+        def g(arr_padded):
+            per_dc = []
+            for dc in range(ND):
+                per_dr = [
+                    jax.lax.slice(arr_padded, (k, H - dc), (k + R, H - dc + B))
+                    for k in range(n_dr)
+                ]
+                per_dc.append(jnp.stack(per_dr, axis=0))
+            return jnp.stack(per_dc, axis=0)  # (ND, n_dr, R, B)
+    else:
+        flat_idx = (V + r_a + dr_a) * WCOL + (H + b_a - dc_a)  # (ND, n_dr, R, B)
 
-    def g(arr_padded):
-        return arr_padded.reshape(-1)[flat_idx]
+        def g(arr_padded):
+            return arr_padded.reshape(-1)[flat_idx]
 
     nx, ny, nz = g(xp), g(yp), g(zp)
     ninc = g(incp)
@@ -253,6 +270,58 @@ def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array,
     return cc_converge(sweep, R, WCOL)
 
 
+def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array,
+                        B: int, max_wp: jax.Array) -> jax.Array:
+    """Shift-stencil sweep with statically unrolled offsets.
+
+    On TPU, general gathers lower to near-serial loops, so the gather-based
+    sweep is catastrophically slow there; static slices of a padded label
+    grid are pure VPU work.  All 861 offset masks (forward and reverse) are
+    precomputed once; the while-loop body is ~6 static ops per offset.
+    """
+    cl = config.clustering
+    H, V = cl.max_steps_in_row, cl.max_steps_in_column
+    R, WCOL = active_w.shape
+    n_dr = 2 * V + 1
+    inf = jnp.int32(R * WCOL)
+
+    # per-offset forward masks (R, WCOL): edge from p to (r+dr, wc-dc)
+    masksL = []
+    masksR = []
+    zerosH = jnp.zeros((R, H), bool)
+    for dc in range(H + 1):
+        for dr_idx in range(n_dr):
+            word = bits[dc, dr_idx // 32]
+            m = ((word >> (dr_idx % 32)) & 1) == 1  # (R, B)
+            mf = jnp.concatenate([zerosH, m], axis=1)  # (R, WCOL)
+            masksL.append(mf)
+            # reverse mask: m at source position (r - dr, wc + dc)
+            mp = jnp.pad(mf, ((V, V), (H, H)))
+            mr = jax.lax.slice(
+                mp, (V - (dr_idx - V), H + dc), (V - (dr_idx - V) + R, H + dc + WCOL)
+            )
+            masksR.append(mr)
+
+    def sweep(L):
+        Lpad = jnp.pad(L, ((V, V), (H, H)), constant_values=inf)
+        out = L
+        i = 0
+        for dc in range(H + 1):
+            for dr_idx in range(n_dr):
+                nb = jax.lax.slice(
+                    Lpad, (dr_idx, H - dc), (dr_idx + R, H - dc + WCOL)
+                )
+                out = jnp.minimum(out, jnp.where(masksL[i], nb, inf))
+                src = jax.lax.slice(
+                    Lpad, (2 * V - dr_idx, H + dc), (2 * V - dr_idx + R, H + dc + WCOL)
+                )
+                out = jnp.minimum(out, jnp.where(masksR[i], src, inf))
+                i += 1
+        return out
+
+    return cc_converge(sweep, R, WCOL)
+
+
 def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
                max_wp: jax.Array) -> jax.Array:
     """Min-label diffusion + pointer jumping over the window graph.
@@ -363,10 +432,22 @@ def associate_and_complete(
 
     from .cc_pallas import pallas_enabled, window_cc_pallas
 
+    def _default_cc_mode() -> str:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        # TPU: general gathers lower near-serially -> use the static shift
+        # stencil; CPU: gathers are fast and the unroll compiles slowly
+        return "unrolled" if platform in ("tpu", "axon") else "vectorized"
+
+    mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
     if pallas_enabled(B):
         Lw = window_cc_pallas(config, bits, active_w, B, max_wp)
-    elif os.environ.get("CCT_CC", "vectorized") == "fori":
+    elif mode == "fori":
         Lw = _window_cc(config, bits, active_w, B, max_wp)
+    elif mode == "unrolled":
+        Lw = _window_cc_unrolled(config, bits, active_w, B, max_wp)
     else:
         Lw = _window_cc_vectorized(config, bits, active_w, B, max_wp)
 
@@ -401,7 +482,7 @@ def associate_and_complete(
         return jnp.where(ok, r * WIN + rel, -1)
 
     def wtake(arr):
-        return arr[:, wlcols]  # (R, WIN)
+        return ring_read(arr, win0_lc, WIN)  # (R, WIN)
 
     glid_w = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + wlcols[None, :]).reshape(-1)
 
@@ -452,52 +533,74 @@ def associate_and_complete(
     finish_w = jnp.where(is_new, cont_az_w + mad_w, finish_w)
 
     # ---- completion (…cpp:837-974) --------------------------------------
-    frozen_w = wtake(state.frozen).reshape(-1)
+    # the reference runs tree combination every
+    # cluster_point_trees_every_nth_column columns (…cpp:841); at batch
+    # granularity, completion runs when the batch contains a multiple of nth
+    # (always, when nth <= 1) or on empty finalization kicks
+    frozen_in = wtake(state.frozen).reshape(-1)
+    cid_in = wtake(state.cluster_id).reshape(-1)
     gcol_w = wtake(state.gcol).reshape(-1)
-    col_live = (gcol_w == jnp.broadcast_to(wcols[None, :], (R, WIN)).reshape(-1))
-    active = cell_has_parent & ~frozen_w & col_live
-    root = jnp.where(active, root_w, self_w)
-
-    newest = jnp.maximum(newest_gcol, 0) % rc
-    cur_min_az = jnp.min(state.cont_az[:, newest])
-
-    big_f = jnp.float32(jnp.finfo(jnp.float32).max)
-    finish_max = jnp.full(n_w, -big_f).at[root].max(jnp.where(active, finish_w, -big_f))
-    gmin = jnp.full(n_w, I32_MAX).at[root].min(jnp.where(active, gcol_w, I32_MAX))
-    gmax = jnp.full(n_w, -1).at[root].max(jnp.where(active, gcol_w, -1))
-    count = jnp.zeros(n_w, jnp.int32).at[root].add(active.astype(jnp.int32))
-
-    is_root = active & (root == self_w)
-    exceeds = (gmax + 1 - gmin) >= num_cols  # force-finish (…cpp:912-919)
-    finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
-
-    publish_root = finished_root & (count > 5)
-    rank = jnp.cumsum(publish_root.astype(jnp.int32))
-    ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
-    num_new = jnp.where(has_data, rank[-1], 0)
-
-    cell_finished = active & jnp.take(finished_root, root) & has_data
-    cid_w = wtake(state.cluster_id).reshape(-1)
-    cid_w = jnp.where(cell_finished, jnp.take(ids, root), cid_w)
-    frozen_w = frozen_w | cell_finished
-
-    # frontier advance (…cpp:943-959). The reference computes the minimum
-    # over ALL current tree roots — including the ones that just finished —
-    # so just-finished clusters hold the frontier for one more round and are
-    # guaranteed to be published before their columns can be cleared; they
-    # drop out next round when frozen.
-    min_required = jnp.min(jnp.where(is_root, gmin, I32_MAX))
-    min_required = jnp.where(
-        min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
-    )
-    fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
-
     ring_start_old = state.ring_start
-    ring_start_new = jnp.where(
-        has_data,
-        jnp.maximum(jnp.maximum(0, fu_new - num_cols), ring_start_old),
-        ring_start_old,
-    )
+
+    def completion(ops):
+        frozen_w, cid_w, finish_w, root_w, cell_has_parent = ops
+        col_live = (gcol_w == jnp.broadcast_to(wcols[None, :], (R, WIN)).reshape(-1))
+        active = cell_has_parent & ~frozen_w & col_live
+        root = jnp.where(active, root_w, self_w)
+
+        newest = jnp.maximum(newest_gcol, 0) % rc
+        cur_min_az = jnp.min(state.cont_az[:, newest])
+
+        big_f = jnp.float32(jnp.finfo(jnp.float32).max)
+        finish_max = jnp.full(n_w, -big_f).at[root].max(jnp.where(active, finish_w, -big_f))
+        gmin = jnp.full(n_w, I32_MAX).at[root].min(jnp.where(active, gcol_w, I32_MAX))
+        gmax = jnp.full(n_w, -1).at[root].max(jnp.where(active, gcol_w, -1))
+        count = jnp.zeros(n_w, jnp.int32).at[root].add(active.astype(jnp.int32))
+
+        is_root = active & (root == self_w)
+        exceeds = (gmax + 1 - gmin) >= num_cols  # force-finish (…cpp:912-919)
+        finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
+
+        publish_root = finished_root & (count > 5)
+        rank = jnp.cumsum(publish_root.astype(jnp.int32))
+        ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
+        num_new = jnp.where(has_data, rank[-1], 0)
+
+        cell_finished = active & jnp.take(finished_root, root) & has_data
+        cid_w = jnp.where(cell_finished, jnp.take(ids, root), cid_w)
+        frozen_w = frozen_w | cell_finished
+
+        # frontier advance (…cpp:943-959): the minimum runs over ALL current
+        # roots including just-finished ones (one-round publish hold)
+        min_required = jnp.min(jnp.where(is_root, gmin, I32_MAX))
+        min_required = jnp.where(
+            min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
+        )
+        fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
+        ring_start_new = jnp.where(
+            has_data,
+            jnp.maximum(jnp.maximum(0, fu_new - num_cols), ring_start_old),
+            ring_start_old,
+        )
+        return frozen_w, cid_w, num_new, fu_new, ring_start_new
+
+    def skip_completion(ops):
+        frozen_w, cid_w, _, _, _ = ops
+        return (
+            frozen_w, cid_w, jnp.asarray(0, jnp.int32), fu_old, ring_start_old
+        )
+
+    nth = cl.cluster_point_trees_every_nth_column
+    ops = (frozen_in, cid_in, finish_w, root_w, cell_has_parent)
+    if nth <= 1:
+        frozen_w, cid_w, num_new, fu_new, ring_start_new = completion(ops)
+    else:
+        end = inputs.gcol0 + inputs.n_cols - 1
+        contains_nth = (end // nth) >= (inputs.gcol0 + nth - 1) // nth
+        due = (inputs.n_cols == 0) | contains_nth
+        frozen_w, cid_w, num_new, fu_new, ring_start_new = jax.lax.cond(
+            due & has_data, completion, skip_completion, ops
+        )
 
     # ---- write back ------------------------------------------------------
     wmask = jnp.ones((1, WIN), bool)

@@ -50,7 +50,7 @@ from ..constants import (
     GP_OBSTACLE,
     GP_UNKNOWN,
 )
-from .state import RingState
+from .state import RingState, ring_read
 
 
 class SegmentInputs(NamedTuple):
@@ -95,9 +95,10 @@ def ground_segment_columns(
     cols = inputs.gcol0 + jnp.arange(B, dtype=jnp.int32)       # (B,) global
     col_valid = jnp.arange(B) < inputs.n_cols                   # (B,)
     lcols = cols % rc
+    lc0 = inputs.gcol0 % rc
 
     def take(arr):
-        return arr[:, lcols]  # (R, B) gather
+        return ring_read(arr, lc0, B)  # (R, B) contiguous
 
     dist = take(state.distance)
     inc_raw = take(state.inclination)

@@ -169,15 +169,33 @@ def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> Inse
         )
         return carry, ys
 
+    # group several firings per scan iteration: the per-iteration work is
+    # tiny, so TPU scan overhead dominates an ungrouped scan
+    G = 8 if F % 8 == 0 else (4 if F % 4 == 0 else 1)
+
+    def gstep(carry, fg):
+        ys_list = []
+        for g_i in range(G):
+            f = {k: v[g_i] for k, v in fg.items()}
+            carry, ys = step(carry, f)
+            ys_list.append(ys)
+        stacked = {
+            k: jnp.stack([y[k] for y in ys_list]) for k in ys_list[0]
+        }
+        return carry, stacked
+
     firings = {
-        "xyz": batch.xyz, "pose": batch.pose, "valid": batch.valid,
+        "xyz": batch.xyz.reshape(F // G, G, R, 3),
+        "pose": batch.pose.reshape(F // G, G, 3, 4),
+        "valid": batch.valid.reshape(F // G, G),
     }
     carry0 = (
         state.distance, state.prev_rearmost, state.prev_foremost,
         state.first_unfinished, state.ring_start, state.ring_end,
         state.first_unpublished, state.reset_required,
     )
-    carry, ys = jax.lax.scan(step, carry0, firings)
+    carry, ys = jax.lax.scan(gstep, carry0, firings)
+    ys = {k: v.reshape((F,) + v.shape[2:]) for k, v in ys.items()}
     (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
      ring_start, ring_end, first_unpublished, reset_required) = carry
 

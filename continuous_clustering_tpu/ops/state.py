@@ -142,6 +142,21 @@ CLEAR_VALUES = {
 CELL_FIELDS = tuple(CLEAR_VALUES.keys())
 
 
+def ring_read(arr: jax.Array, lcol0: jax.Array, width: int) -> jax.Array:
+    """Read ``width`` consecutive ring columns starting at ``lcol0`` (mod rc).
+
+    TPU gathers lower near-serially; a wrap-extended contiguous
+    dynamic_slice is pure block copies.
+    """
+    R, rc = arr.shape
+    if width >= rc:
+        # fall back to the general gather (only trivial ring sizes)
+        idx = (lcol0 + jnp.arange(width, dtype=jnp.int32)) % rc
+        return arr[:, idx]
+    ext = jnp.concatenate([arr, jax.lax.slice(arr, (0, 0), (R, width))], axis=1)
+    return jax.lax.dynamic_slice(ext, (0, lcol0), (R, width))
+
+
 def clear_columns(state: RingState, from_gcol: jax.Array, to_gcol: jax.Array) -> RingState:
     """Clear ring columns in [from_gcol, to_gcol] (reference clearColumns,
     src/clustering/continuous_clustering.cpp:1094-1145), vectorized as a
