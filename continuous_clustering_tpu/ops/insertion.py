@@ -73,8 +73,10 @@ def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> Inse
     rows = jnp.arange(R, dtype=jnp.int32)
     F = batch.xyz.shape[0]
 
-    def step(carry, f):
-        (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+    INF = jnp.float32(jnp.inf)
+
+    def step(carry, f, occ):
+        (prev_rearmost, prev_foremost, first_unfinished,
          ring_start, ring_end, first_unpublished, reset_required) = carry
 
         valid = ~jnp.isnan(f["xyz"][:, 0]) & f["valid"] & ~reset_required
@@ -109,22 +111,18 @@ def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> Inse
         distance = jnp.where(valid, distance, jnp.nan)
 
         lcol = jnp.where(valid, gcol % rc, 0)
-        old_dist = dist_ring[rows, lcol]
+        old_enc = occ(lcol)
         next_lcol = (lcol + 1) % rc
-        next_dist = dist_ring[rows, next_lcol]
-        shift = (~jnp.isnan(old_dist)) & (~jnp.isnan(distance)) & jnp.isnan(next_dist)
+        next_enc = occ(next_lcol)
+        shift = (old_enc < INF) & valid & (next_enc == INF)
         lcol = jnp.where(shift, next_lcol, lcol)
         gcol = gcol + shift.astype(jnp.int32)
-        old2 = jnp.where(shift, next_dist, old_dist)
+        old2 = jnp.where(shift, next_enc, old_enc)
 
-        refused = (~jnp.isnan(old2)) & (jnp.isnan(distance) | (distance >= old2))
+        refused = (old2 < INF) & (~valid | (distance >= old2))
         tracked = valid & ~refused
         behind = (first_unfinished >= 0) & (gcol < first_unfinished)
         write = tracked & ~behind
-
-        dist_ring = dist_ring.at[rows, lcol].set(
-            jnp.where(write, distance, dist_ring[rows, lcol])
-        )
 
         big = jnp.int32(jnp.iinfo(jnp.int32).max)
         rearmost = jnp.min(jnp.where(tracked, gcol, big))
@@ -152,7 +150,7 @@ def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> Inse
         )
         reset_required = reset_required | invalid_span
 
-        carry = (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+        carry = (prev_rearmost, prev_foremost, first_unfinished,
                  ring_start, ring_end, first_unpublished, reset_required)
         cont_az = (
             jnp.float32(2.0 * math.pi)
@@ -170,40 +168,66 @@ def insert_firings(config: Config, state: RingState, batch: FiringBatch) -> Inse
         return carry, ys
 
     # group several firings per scan iteration: the per-iteration work is
-    # tiny, so TPU scan overhead dominates an ungrouped scan
+    # tiny, so TPU scan/scatter overhead dominates an ungrouped scan.  The
+    # distance plane is carried inf-encoded (free cell = +inf) so that the
+    # group's writes commit as ONE scatter-min; mid-group occupancy combines
+    # the pre-group plane with the group's earlier accepted claims (accepted
+    # overwrites are strictly nearer, so min is exact; …cpp:205).
     G = 8 if F % 8 == 0 else (4 if F % 4 == 0 else 1)
+    INFv = jnp.float32(jnp.inf)
 
     def gstep(carry, fg):
+        dist_enc, *scal = carry
+        scal = tuple(scal)
         ys_list = []
+        claims = []  # (lcol (R,), enc (R,)) of accepted writes so far
+
         for g_i in range(G):
             f = {k: v[g_i] for k, v in fg.items()}
-            carry, ys = step(carry, f)
+
+            def occ(lc, _claims=tuple(claims)):
+                e = dist_enc[rows, lc]
+                for cl, ce in _claims:
+                    e = jnp.where(cl == lc, jnp.minimum(e, ce), e)
+                return e
+
+            scal, ys = step(scal, f, occ)
+            claims.append(
+                (ys["lcol"], jnp.where(ys["write"], ys["distance"], INFv))
+            )
             ys_list.append(ys)
+
+        all_l = jnp.stack([c[0] for c in claims]).reshape(-1)       # (G*R,)
+        all_e = jnp.stack([c[1] for c in claims]).reshape(-1)
+        rows_t = jnp.broadcast_to(rows[None, :], (G, R)).reshape(-1)
+        dist_enc = dist_enc.at[rows_t, all_l].min(all_e)
         stacked = {
             k: jnp.stack([y[k] for y in ys_list]) for k in ys_list[0]
         }
-        return carry, stacked
+        return (dist_enc,) + scal, stacked
 
     firings = {
         "xyz": batch.xyz.reshape(F // G, G, R, 3),
         "pose": batch.pose.reshape(F // G, G, 3, 4),
         "valid": batch.valid.reshape(F // G, G),
     }
+    dist_enc0 = jnp.where(jnp.isnan(state.distance), jnp.inf, state.distance)
     carry0 = (
-        state.distance, state.prev_rearmost, state.prev_foremost,
+        dist_enc0, state.prev_rearmost, state.prev_foremost,
         state.first_unfinished, state.ring_start, state.ring_end,
         state.first_unpublished, state.reset_required,
     )
     carry, ys = jax.lax.scan(gstep, carry0, firings)
     ys = {k: v.reshape((F,) + v.shape[2:]) for k, v in ys.items()}
-    (dist_ring, prev_rearmost, prev_foremost, first_unfinished,
+    (dist_enc, prev_rearmost, prev_foremost, first_unfinished,
      ring_start, ring_end, first_unpublished, reset_required) = carry
+    dist_ring = jnp.where(jnp.isinf(dist_enc), jnp.nan, dist_enc)
 
     # winner of each cell = accepted write matching the final distance plane
     lcol = ys["lcol"].reshape(-1)
     write = ys["write"].reshape(-1)
     row_idx = jnp.broadcast_to(rows[None, :], (F, R)).reshape(-1)
-    final_d = dist_ring[row_idx, lcol]
+    final_d = dist_enc[row_idx, lcol]
     winner = write & (ys["distance"].reshape(-1) == final_d)
     sr = jnp.where(winner, row_idx, R)  # out-of-bounds rows drop losers
     sc = lcol
