@@ -71,36 +71,72 @@ def main():
             pipe.add_firing(f, np.eye(4))
 
     if mode == "scan":
-        # device-resident multi-batch mode: one dispatch per revolution
+        # device-resident multi-batch mode: one dispatch per many batches
         import jax
+        import jax.numpy as jnp
 
         from continuous_clustering_tpu.models.throughput import (
+            make_block_scan_runner,
             make_scan_runner,
             stack_batches,
         )
 
         firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10**8)
-        per_step = []
-        for start in range(0, num_cols, batch):
-            chunk = firings[start : start + batch]
-            per_step.append(
-                pipe._make_batch(chunk, [np.eye(4)] * len(chunk))
-            )
-        stacked = stack_batches(per_step)
-        runner = make_scan_runner(cfg, pipe._batch_B)
+        n_rev = 4
         calib = pipe._make_calib()
         state = pipe.state
-        state, _ = runner(state, stacked, calib)  # warmup/compile
-        # NOTE: block_until_ready does not force execution through every
-        # backend (the axon tunnel defers lazily); fetch a scalar to force.
-        int(np.asarray(state.first_unpublished))
 
-        n_rev = 4
-        t0 = time.perf_counter()
-        for _ in range(n_rev):
-            state, infos = runner(state, stacked, calib)
-        fu = int(np.asarray(state.first_unpublished))  # forces the full chain
-        t1 = time.perf_counter()
+        if pipe._host_ins is not None:
+            # host-inserted dense blocks: pre-insert warmup + measured revs
+            hsg = jnp.asarray(np.float32(-1.7))
+            blocks, seg_poses = [], []
+            for rev in range(n_rev + 1):
+                first, end, reset = pipe._host_ins.add_firings(
+                    firings, [np.eye(4)] * len(firings)
+                )
+                while first < end:
+                    blk, trig = pipe._host_ins.fetch_block(
+                        first, end, pipe._batch_B, 0, reset
+                    )
+                    blocks.append(blk)
+                    seg_poses.append(pipe._seg_poses(trig))
+                    first += int(blk.n_cols)
+                pipe._host_ins.clear_before(end - num_cols)
+            per_rev = len(blocks) // (n_rev + 1)
+            stack = lambda xs: jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a), *xs
+            )
+            revs = [
+                (
+                    stack(blocks[k * per_rev : (k + 1) * per_rev]),
+                    stack(seg_poses[k * per_rev : (k + 1) * per_rev]),
+                )
+                for k in range(n_rev + 1)
+            ]
+            runner = make_block_scan_runner(cfg, pipe._batch_B)
+            state, _ = runner(state, revs[0][0], revs[0][1], hsg)
+            int(np.asarray(state.first_unpublished))
+            t0 = time.perf_counter()
+            for k in range(1, n_rev + 1):
+                state, infos = runner(state, revs[k][0], revs[k][1], hsg)
+            fu = int(np.asarray(state.first_unpublished))
+            t1 = time.perf_counter()
+        else:
+            per_step = []
+            for start in range(0, num_cols, batch):
+                chunk = firings[start : start + batch]
+                per_step.append(pipe._make_batch(chunk, [np.eye(4)] * len(chunk)))
+            stacked = stack_batches(per_step)
+            runner = make_scan_runner(cfg, pipe._batch_B)
+            state, _ = runner(state, stacked, calib)  # warmup/compile
+            # NOTE: block_until_ready does not force execution through every
+            # backend (the axon tunnel defers lazily); fetch a scalar.
+            int(np.asarray(state.first_unpublished))
+            t0 = time.perf_counter()
+            for _ in range(n_rev):
+                state, infos = runner(state, stacked, calib)
+            fu = int(np.asarray(state.first_unpublished))
+            t1 = time.perf_counter()
         if bool(state.overflow):
             raise RuntimeError("ring overflow during bench")
         assert fu > 0

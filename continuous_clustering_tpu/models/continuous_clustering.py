@@ -29,12 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..config import Config
 from ..io.point_cloud import POINT_DTYPE, ProcessingStage, combine_u64, stage_dtype
 from ..ops.insertion import FiringBatch
 from ..ops.state import RingState, init_state, rebase_azimuth
 from ..utils.stats import StageTimer, WorkloadRecorder
-from .step import EgoCalibration, pipeline_step
+from .step import EgoCalibration, SegPoses, pipeline_step, pipeline_step_block
 
 TWO_PI = 2.0 * math.pi
 
@@ -95,6 +97,16 @@ class ContinuousClustering:
         self._reset_required = False
         self._fifo.clear()
         self._fifo_poses.clear()
+        # host-side insertion fast path (native C++ engine); stage A is
+        # pointer-chasing host work — see models/host_insertion.py
+        self._host_ins = None
+        if os.environ.get("CCT_HOST_INSERT", "1") != "0":
+            try:
+                from .host_insertion import HostInsertion
+
+                self._host_ins = HostInsertion(self._config, num_rows)
+            except (RuntimeError, ImportError):
+                self._host_ins = None
         # host mirrors of device scalars (avoid syncs on the hot path)
         self._h_first_unfinished = -1
         self._h_first_unpublished = -1
@@ -128,6 +140,10 @@ class ContinuousClustering:
             partial(pipeline_step, cfg, batch_cols=self._batch_B),
             donate_argnums=(0,),
         )
+        self._jit_block_step = jax.jit(
+            partial(pipeline_step_block, cfg, batch_cols=self._batch_B),
+            donate_argnums=(0,),
+        )
 
     def add_firing(self, firing: Dict[str, np.ndarray], odom_from_sensor: np.ndarray) -> None:
         if self._num_rows is None:
@@ -146,19 +162,37 @@ class ContinuousClustering:
         if self._fifo:
             self._process_batch()
         self._drain_pending()
-        # stream end: drain any surplus finished columns beyond step capacity
-        while self._last_ncols == self._batch_B and not self._reset_required:
-            calib = self._make_calib()
-            self._last_ncols = 0
-            self._run_step(self._empty_batch(), calib)
-            self._drain_pending()
+        if self._host_ins is None:
+            # stream end: drain surplus finished columns beyond step capacity
+            # (the host-insertion path drains inline)
+            while self._last_ncols == self._batch_B and not self._reset_required:
+                calib = self._make_calib()
+                self._last_ncols = 0
+                self._run_step(self._empty_batch(), calib)
+                self._drain_pending()
         # finalization kicks: clusters that finished in the last batch hold
         # the publish frontier for one round (reference one-round delay);
         # empty steps release them so the stream end is fully finalized
         if self._h_first_unfinished >= 0 and not self._reset_required:
             for _ in range(3):
                 fu_before = self._h_first_unpublished
-                self._run_step(self._empty_batch(), self._make_calib())
+                if self._host_ins is not None:
+                    fu = self._h_first_unfinished
+                    block, trig = self._host_ins.fetch_block(
+                        fu, fu, self._batch_B, self._h_origin_rot, False
+                    )
+                    hsg = jnp.asarray(
+                        np.float32(
+                            -self._ego_from_sensor[2, 3]
+                            + self._config.ground_segmentation.height_ref_to_ground
+                        )
+                    )
+                    self._state, info = self._jit_block_step(
+                        self._state, block, self._seg_poses(trig), hsg
+                    )
+                    self._consume_info(info)
+                else:
+                    self._run_step(self._empty_batch(), self._make_calib())
                 self._drain_pending()
                 if self._h_first_unpublished == fu_before:
                     break
@@ -206,14 +240,74 @@ class ContinuousClustering:
             height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
         )
 
+    def _seg_poses(self, trig_poses: np.ndarray) -> SegPoses:
+        """Per-column segmentation inputs from trigger poses (n, 3, 4)."""
+        B = self._batch_B
+        ego = self._ego_from_sensor
+        n = len(trig_poses)
+        sensor_pos = np.zeros((B, 3), np.float32)
+        ego_rot = np.zeros((B, 3, 3), np.float32)
+        ego_trans = np.zeros((B, 3), np.float32)
+        if n:
+            rot = trig_poses[:, :3, :3]
+            t = trig_poses[:, :3, 3]
+            sensor_pos[:n] = t
+            rinv = np.swapaxes(rot, 1, 2)
+            tinv = -np.einsum("bij,bj->bi", rinv, t)
+            ego_rot[:n] = np.einsum("ij,bjk->bik", ego[:3, :3], rinv)
+            ego_trans[:n] = np.einsum("ij,bj->bi", ego[:3, :3], tinv) + ego[:3, 3]
+        return SegPoses(
+            sensor_pos=jnp.asarray(sensor_pos),
+            ego_rot=jnp.asarray(ego_rot),
+            ego_trans=jnp.asarray(ego_trans),
+        )
+
+    def _process_batch_host_insertion(self, firings, poses) -> None:
+        ins = self._host_ins
+        first, end, reset = ins.add_firings(firings, poses)
+        if reset:
+            self._reset_required = True
+            return
+        hsg = jnp.asarray(
+            np.float32(
+                -self._ego_from_sensor[2, 3]
+                + self._config.ground_segmentation.height_ref_to_ground
+            )
+        )
+        while True:
+            block, trig = ins.fetch_block(
+                first, end, self._batch_B, self._h_origin_rot, reset
+            )
+            n = int(block.n_cols)
+            seg_poses = self._seg_poses(trig)
+            self._state, info = self._jit_block_step(
+                self._state, block, seg_poses, hsg
+            )
+            if self._config.general.is_single_threaded:
+                self._consume_info(info)
+            else:
+                self._pending_infos.append(info)
+                if len(self._pending_infos) > 1:
+                    self._consume_info(self._pending_infos.pop(0))
+            first += n
+            if first >= end or n == 0:
+                break
+        keep_from = self._h_first_unpublished - self._config.range_image.num_columns
+        ins.clear_before(keep_from)
+        self._maybe_rebase()
+
     def _process_batch(self) -> None:
         firings, poses = self._fifo, self._fifo_poses
         self._fifo, self._fifo_poses = [], []
         calib = self._make_calib()
-        with self.stats.track("host_batch_prep"):
-            batch = self._make_batch(firings, poses)
         self._last_pose = poses[-1]
         self.workload.record(fifo=len(firings), device=len(self._pending_infos))
+        if self._host_ins is not None:
+            with self.stats.track("device_step"):
+                self._process_batch_host_insertion(firings, poses)
+            return
+        with self.stats.track("host_batch_prep"):
+            batch = self._make_batch(firings, poses)
         with self.stats.track("device_step"):
             n_cols = self._run_step(batch, calib)
         # If the step clamped at its column capacity there may be surplus

@@ -41,6 +41,54 @@ class EgoCalibration(NamedTuple):
     height_sensor_to_ground: jax.Array  # () f32
 
 
+class SegPoses(NamedTuple):
+    """Per-column trigger poses for segmentation (host-derived)."""
+
+    sensor_pos: jax.Array  # (B, 3) f32
+    ego_rot: jax.Array     # (B, 3, 3) f32
+    ego_trans: jax.Array   # (B, 3) f32
+
+
+def pipeline_step_block(
+    config: Config,
+    state: RingState,
+    block,
+    seg_poses: SegPoses,
+    hsg,
+    batch_cols: int,
+):
+    """Host-insertion variant: ingest a dense finished-column block, then
+    segmentation + association + completion (no insertion scan)."""
+    from ..ops.ingest import ingest_columns
+
+    state = ingest_columns(config, state, block, batch_cols)
+    seg_in = SegmentInputs(
+        gcol0=block.gcol0,
+        n_cols=block.n_cols,
+        sensor_pos=seg_poses.sensor_pos,
+        ego_rot=seg_poses.ego_rot,
+        ego_trans=seg_poses.ego_trans,
+        height_sensor_to_ground=hsg,
+    )
+    state = ground_segment_columns(config, state, seg_in, batch_cols)
+    counter_old = state.cluster_counter
+    cres: CompleteResult = associate_and_complete(
+        config, state, AssocInputs(gcol0=block.gcol0, n_cols=block.n_cols), batch_cols
+    )
+    state = cres.state
+    info = StepInfo(
+        gcol0=block.gcol0,
+        n_cols=block.n_cols,
+        fu_old=cres.fu_old,
+        fu_new=cres.fu_new,
+        num_new_clusters=cres.num_new_clusters,
+        cluster_counter_old=counter_old,
+        reset_required=state.reset_required,
+        overflow=state.overflow,
+    )
+    return state, info
+
+
 def pipeline_step(
     config: Config,
     state: RingState,

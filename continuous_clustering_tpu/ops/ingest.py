@@ -1,0 +1,94 @@
+"""Dense column-block ingest: device-side writes for host-side insertion.
+
+When the native C++ insertion fast path is active (the reference's stage A is
+pointer-chasing host work by nature), the device receives *dense finished
+column blocks* instead of running the insertion scan: one masked write per
+field plus the frontier scalars computed by the host. Exactness comes from
+the native engine (oracle-verified); this op only places the data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .state import RingState
+
+
+class ColumnBlock(NamedTuple):
+    """Host-inserted dense columns [gcol0, gcol0 + n_cols), shape (R, B)."""
+
+    gcol0: jax.Array        # () i32
+    n_cols: jax.Array       # () i32
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    distance: jax.Array
+    azimuth: jax.Array
+    inclination: jax.Array
+    cont_az: jax.Array      # f32, origin-relative
+    stamp_lo: jax.Array     # u32
+    stamp_hi: jax.Array
+    uidx_lo: jax.Array
+    uidx_hi: jax.Array
+    intensity: jax.Array    # i32
+    firing_index: jax.Array  # i32
+    # frontier scalars computed by the host insertion engine
+    prev_rearmost: jax.Array
+    prev_foremost: jax.Array
+    first_unfinished: jax.Array
+    first_unpublished_init: jax.Array  # -1 if frontier already initialized
+    reset_required: jax.Array
+
+
+def ingest_columns(config: Config, state: RingState, block: ColumnBlock,
+                   batch_size: int) -> RingState:
+    R = state.num_rows
+    rc = state.ring_cols
+    B = batch_size
+    cols = block.gcol0 + jnp.arange(B, dtype=jnp.int32)
+    lcols = cols % rc
+    wmask = (jnp.arange(B) < block.n_cols)[None, :]
+    gcol_vals = jnp.broadcast_to(cols[None, :], (R, B))
+    gcol_vals = jnp.where(jnp.isnan(block.distance), -1, gcol_vals)
+
+    def put(arr, vals):
+        cur = arr[:, lcols]
+        return arr.at[:, lcols].set(jnp.where(wmask, vals.astype(arr.dtype), cur))
+
+    first_unpublished = jnp.where(
+        state.first_unpublished == -1,
+        block.first_unpublished_init,
+        state.first_unpublished,
+    )
+    ring_start = jnp.where(
+        state.ring_start == -1, block.first_unpublished_init, state.ring_start
+    )
+    return dataclasses.replace(
+        state,
+        x=put(state.x, block.x),
+        y=put(state.y, block.y),
+        z=put(state.z, block.z),
+        distance=put(state.distance, block.distance),
+        azimuth=put(state.azimuth, block.azimuth),
+        inclination=put(state.inclination, block.inclination),
+        cont_az=put(state.cont_az, block.cont_az),
+        gcol=put(state.gcol, gcol_vals),
+        stamp_lo=put(state.stamp_lo, block.stamp_lo),
+        stamp_hi=put(state.stamp_hi, block.stamp_hi),
+        uidx_lo=put(state.uidx_lo, block.uidx_lo),
+        uidx_hi=put(state.uidx_hi, block.uidx_hi),
+        intensity=put(state.intensity, block.intensity),
+        firing_index=put(state.firing_index, block.firing_index),
+        prev_rearmost=jnp.maximum(state.prev_rearmost, block.prev_rearmost),
+        prev_foremost=jnp.maximum(state.prev_foremost, block.prev_foremost),
+        first_unfinished=jnp.maximum(state.first_unfinished, block.first_unfinished),
+        ring_end=jnp.maximum(state.ring_end, block.prev_foremost),
+        first_unpublished=first_unpublished,
+        ring_start=ring_start,
+        reset_required=state.reset_required | block.reset_required,
+    )
