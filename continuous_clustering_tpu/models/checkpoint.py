@@ -50,6 +50,9 @@ def load_state(pipe, path) -> None:
     data = np.load(path)
     num_rows = int(data["_num_rows"])
     pipe.reset(num_rows)
+    # the native host-insertion engine's ring is not serialized; resumed
+    # pipelines use the (equivalent) device insertion path
+    pipe._host_ins = None
     kwargs = {}
     for f in dataclasses.fields(pipe.state):
         kwargs[f.name] = jnp.asarray(data[f.name])

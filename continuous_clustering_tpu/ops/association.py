@@ -509,16 +509,26 @@ def associate_and_complete(
         p, changed, it = c
         return changed & (it < 32)
 
+    def _resolve_points(p, idx, iters=12):
+        """Resolve only the given endpoints by chasing pointers (small
+        gathers on the endpoint set instead of full-window jumping)."""
+        r = jnp.take(p, idx)
+        for _ in range(iters):
+            r = jnp.where(r >= 0, jnp.take(p, jnp.maximum(r, 0)), r)
+        return jnp.where(r >= 0, r, idx)
+
+    ha = jnp.where(halo_act, halo_widx, 0)
+    hb = jnp.where(halo_act, halo_root_widx, 0)
+
     def union_body(c):
         p, _, it = c
-        res = _resolve(p)
-        ra = jnp.take(res, jnp.where(halo_act, halo_widx, 0))
-        rb = jnp.take(res, jnp.where(halo_act, halo_root_widx, 0))
+        ra = _resolve_points(p, ha)
+        rb = _resolve_points(p, hb)
         lo = jnp.minimum(ra, rb)
         hi = jnp.maximum(ra, rb)
         do = halo_act & (lo != hi)
         new_p = p.at[jnp.where(do, hi, n_w)].min(lo, mode="drop")
-        return new_p, jnp.any(new_p != p), it + 1
+        return new_p, jnp.any(do), it + 1
 
     parent_w, _, _ = jax.lax.while_loop(
         union_cond, union_body, (parent_w, jnp.asarray(True), 0)
@@ -562,12 +572,20 @@ def associate_and_complete(
         finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
 
         publish_root = finished_root & (count > 5)
-        rank = jnp.cumsum(publish_root.astype(jnp.int32))
+        # rank via 2D prefix sums: a flat 1D cumsum over R*WIN lowers poorly
+        pub2d = publish_root.reshape(R, WIN).astype(jnp.int32)
+        within_col = jnp.cumsum(pub2d, axis=0)            # (R, WIN) fast
+        col_tot = within_col[-1]                          # (WIN,)
+        col_off = jnp.cumsum(col_tot) - col_tot           # exclusive, small
+        rank = (within_col + col_off[None, :]).reshape(-1)
         ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
-        num_new = jnp.where(has_data, rank[-1], 0)
+        num_new = jnp.where(has_data, col_off[-1] + col_tot[-1], 0)
 
-        cell_finished = active & jnp.take(finished_root, root) & has_data
-        cid_w = jnp.where(cell_finished, jnp.take(ids, root), cid_w)
+        # one member-propagation gather: id and finished flag packed
+        packed = jnp.where(finished_root, ids * 2 + 1, 0)
+        got = jnp.take(packed, root)
+        cell_finished = active & ((got & 1) == 1) & has_data
+        cid_w = jnp.where(cell_finished, got >> 1, cid_w)
         frozen_w = frozen_w | cell_finished
 
         # frontier advance (…cpp:943-959): the minimum runs over ALL current
