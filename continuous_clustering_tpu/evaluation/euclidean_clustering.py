@@ -12,8 +12,6 @@ PCL's radius-search region growing (the pairwise condition is symmetric).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 # From https://github.com/url-kaist/TRAVEL/issues/6 via the reference

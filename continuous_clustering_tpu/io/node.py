@@ -11,7 +11,6 @@ callbacks.
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Dict, Optional
 
 import numpy as np

@@ -10,8 +10,6 @@ it without touching the pipeline.
 from __future__ import annotations
 
 import enum
-from typing import Optional
-
 import numpy as np
 
 

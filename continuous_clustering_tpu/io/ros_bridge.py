@@ -11,13 +11,9 @@ middleware-free.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
-from ..config import Config
 from .node import ClusteringNode
-from .point_cloud import POINT_DTYPE
 
 
 def _require_rospy():

@@ -10,8 +10,6 @@ bit-reproducible replay from a mid-stream point.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np

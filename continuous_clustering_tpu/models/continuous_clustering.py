@@ -32,7 +32,7 @@ import numpy as np
 import os
 
 from ..config import Config
-from ..io.point_cloud import POINT_DTYPE, ProcessingStage, combine_u64, stage_dtype
+from ..io.point_cloud import ProcessingStage, combine_u64, stage_dtype
 from ..ops.insertion import FiringBatch
 from ..ops.state import RingState, init_state, rebase_azimuth
 from ..utils.stats import StageTimer, WorkloadRecorder

@@ -12,15 +12,13 @@ publishers, src/tools/kitti_demo.cpp:474-482).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.insertion import FiringBatch
 from ..ops.state import RingState
-from .step import EgoCalibration, StepInfo, pipeline_step
+from .step import EgoCalibration, pipeline_step
 
 
 def make_scan_runner(config: Config, batch_cols: int):

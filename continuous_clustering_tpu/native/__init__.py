@@ -8,7 +8,6 @@ fall back to pure-Python implementations when the library is absent.
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 from typing import Optional
 

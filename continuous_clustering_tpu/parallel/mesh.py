@@ -12,7 +12,7 @@ The workload's natural parallel axes:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

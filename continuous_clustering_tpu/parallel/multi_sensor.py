@@ -10,8 +10,6 @@ completion) is vmapped over the sensor axis and partitioned by GSPMD.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,7 +19,7 @@ from ..config import Config
 from ..models.step import EgoCalibration, pipeline_step
 from ..ops.insertion import FiringBatch
 from ..ops.state import RingState, init_state
-from .mesh import shard_pytree, state_sharding
+from .mesh import state_sharding
 
 
 def stacked_init(config: Config, num_rows: int, n_sensors: int) -> RingState:

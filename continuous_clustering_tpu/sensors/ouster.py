@@ -11,8 +11,6 @@ import ctypes
 import json
 import math
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from .. import native

@@ -9,7 +9,7 @@ callback per completed firing.  Each firing dict carries
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import math
-from typing import Dict, Optional
-
 import numpy as np
 
 from .. import native

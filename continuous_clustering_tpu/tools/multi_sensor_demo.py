@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from ..config import Config, ouster_os32_config, vls128_roof_config
+from ..config import Config
 from ..evaluation.synthetic import make_scene, raycast_frame, frame_to_firings
 from ..models.continuous_clustering import ContinuousClustering
 from ..utils.cli import CommandLineParser

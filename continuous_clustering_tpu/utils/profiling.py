@@ -10,7 +10,6 @@ with device timelines.
 from __future__ import annotations
 
 import contextlib
-import os
 
 
 @contextlib.contextmanager
