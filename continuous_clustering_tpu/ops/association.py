@@ -533,7 +533,6 @@ def associate_and_complete(
     parent_w, _, _ = jax.lax.while_loop(
         union_cond, union_body, (parent_w, jnp.asarray(True), 0)
     )
-    root_w = _resolve(parent_w)
 
     # ---- per-cell clustering fields (window) ----------------------------
     cont_az_w = wtake(state.cont_az).reshape(-1)
@@ -553,7 +552,8 @@ def associate_and_complete(
     ring_start_old = state.ring_start
 
     def completion(ops):
-        frozen_w, cid_w, finish_w, root_w, cell_has_parent = ops
+        frozen_w, cid_w, finish_w, parent_w, cell_has_parent = ops
+        root_w = _resolve(parent_w)
         col_live = (gcol_w == jnp.broadcast_to(wcols[None, :], (R, WIN)).reshape(-1))
         active = cell_has_parent & ~frozen_w & col_live
         root = jnp.where(active, root_w, self_w)
@@ -600,24 +600,30 @@ def associate_and_complete(
             jnp.maximum(jnp.maximum(0, fu_new - num_cols), ring_start_old),
             ring_start_old,
         )
-        return frozen_w, cid_w, num_new, fu_new, ring_start_new
+        return frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w
 
     def skip_completion(ops):
-        frozen_w, cid_w, _, _, _ = ops
+        frozen_w, cid_w, _, parent_w, _ = ops
+        # no resolve on skipped batches: write back 1-hop parents (chains
+        # grow by at most one per skipped batch; the next completion's
+        # resolve compresses them)
+        self_or_parent = jnp.where(parent_w >= 0, parent_w, self_w)
         return (
-            frozen_w, cid_w, jnp.asarray(0, jnp.int32), fu_old, ring_start_old
+            frozen_w, cid_w, jnp.asarray(0, jnp.int32), fu_old,
+            ring_start_old, self_or_parent,
         )
 
     nth = cl.cluster_point_trees_every_nth_column
-    ops = (frozen_in, cid_in, finish_w, root_w, cell_has_parent)
+    ops = (frozen_in, cid_in, finish_w, parent_w, cell_has_parent)
     if nth <= 1:
-        frozen_w, cid_w, num_new, fu_new, ring_start_new = completion(ops)
+        frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w = completion(ops)
+        did_complete = jnp.asarray(True)
     else:
         end = inputs.gcol0 + inputs.n_cols - 1
         contains_nth = (end // nth) >= (inputs.gcol0 + nth - 1) // nth
-        due = (inputs.n_cols == 0) | contains_nth
-        frozen_w, cid_w, num_new, fu_new, ring_start_new = jax.lax.cond(
-            due & has_data, completion, skip_completion, ops
+        did_complete = ((inputs.n_cols == 0) | contains_nth) & has_data
+        frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w = jax.lax.cond(
+            did_complete, completion, skip_completion, ops
         )
 
     # ---- write back ------------------------------------------------------
@@ -635,12 +641,23 @@ def associate_and_complete(
         jnp.where(parent_w >= 0, jnp.take(glid_w, root_w), orig_parent),
         -1,
     )
+
+    def write_completion(arrs):
+        cid_arr, froz_arr = arrs
+        return put(cid_arr, cid_w), put(froz_arr, frozen_w)
+
+    cluster_id_new, frozen_new = jax.lax.cond(
+        did_complete,
+        write_completion,
+        lambda arrs: arrs,
+        (state.cluster_id, state.frozen),
+    )
     state = dataclasses.replace(
         state,
         parent=put(state.parent, root_glid_out),
         finish_az=put(state.finish_az, finish_w),
-        cluster_id=put(state.cluster_id, cid_w),
-        frozen=put(state.frozen, frozen_w),
+        cluster_id=cluster_id_new,
+        frozen=frozen_new,
         cluster_counter=state.cluster_counter + num_new,
         first_unpublished=fu_new,
         ring_start=ring_start_new,
