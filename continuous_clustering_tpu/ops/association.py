@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .state import RingState, clear_columns, ring_read
+from .state import RingState, clear_columns, ring_read, ring_write
 
 I32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -627,11 +627,8 @@ def associate_and_complete(
         )
 
     # ---- write back ------------------------------------------------------
-    wmask = jnp.ones((1, WIN), bool)
-
     def put(arr, flat_vals):
-        vals = flat_vals.reshape(R, WIN).astype(arr.dtype)
-        return arr.at[:, wlcols].set(jnp.where(wmask, vals, arr[:, wlcols]))
+        return ring_write(arr, win0_lc, flat_vals.reshape(R, WIN))
 
     # keep the original parent where it could not be window-translated
     # (frozen cells whose root slid out of the window)

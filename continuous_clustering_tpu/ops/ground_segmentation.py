@@ -50,7 +50,7 @@ from ..constants import (
     GP_OBSTACLE,
     GP_UNKNOWN,
 )
-from .state import RingState, ring_read
+from .state import RingState, ring_read, ring_write
 
 
 class SegmentInputs(NamedTuple):
@@ -94,7 +94,6 @@ def ground_segment_columns(
 
     cols = inputs.gcol0 + jnp.arange(B, dtype=jnp.int32)       # (B,) global
     col_valid = jnp.arange(B) < inputs.n_cols                   # (B,)
-    lcols = cols % rc
     lc0 = inputs.gcol0 % rc
 
     def take(arr):
@@ -337,8 +336,8 @@ def ground_segment_columns(
     wmask = col_valid[None, :]
 
     def put(arr, vals):
-        cur = arr[:, lcols]
-        return arr.at[:, lcols].set(jnp.where(wmask, vals.astype(arr.dtype), cur))
+        cur = ring_read(arr, lc0, B)
+        return ring_write(arr, lc0, jnp.where(wmask, vals.astype(arr.dtype), cur))
 
     return dataclasses.replace(
         state,

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .state import RingState
+from .state import RingState, ring_read, ring_write
 
 
 class ColumnBlock(NamedTuple):
@@ -51,14 +51,15 @@ def ingest_columns(config: Config, state: RingState, block: ColumnBlock,
     rc = state.ring_cols
     B = batch_size
     cols = block.gcol0 + jnp.arange(B, dtype=jnp.int32)
-    lcols = cols % rc
     wmask = (jnp.arange(B) < block.n_cols)[None, :]
     gcol_vals = jnp.broadcast_to(cols[None, :], (R, B))
     gcol_vals = jnp.where(jnp.isnan(block.distance), -1, gcol_vals)
 
+    lc0 = block.gcol0 % rc
+
     def put(arr, vals):
-        cur = arr[:, lcols]
-        return arr.at[:, lcols].set(jnp.where(wmask, vals.astype(arr.dtype), cur))
+        cur = ring_read(arr, lc0, B)
+        return ring_write(arr, lc0, jnp.where(wmask, vals.astype(arr.dtype), cur))
 
     first_unpublished = jnp.where(
         state.first_unpublished == -1,

@@ -157,6 +157,24 @@ def ring_read(arr: jax.Array, lcol0: jax.Array, width: int) -> jax.Array:
     return jax.lax.dynamic_slice(ext, (0, lcol0), (R, width))
 
 
+def ring_write(arr: jax.Array, lcol0: jax.Array, vals: jax.Array) -> jax.Array:
+    """Overwrite ``vals.shape[1]`` consecutive ring columns starting at
+    ``lcol0`` (mod rc) — the scatter-free analog of :func:`ring_read`.
+
+    A gathered column scatter (``arr.at[:, idx].set``) lowers near-serially
+    on TPU; rolling the ring so the block is leading, overwriting with a
+    static-offset slice, and rolling back is pure contiguous copies.
+    """
+    R, rc = arr.shape
+    width = vals.shape[1]
+    if width > rc:
+        idx = (lcol0 + jnp.arange(width, dtype=jnp.int32)) % rc
+        return arr.at[:, idx].set(vals.astype(arr.dtype))
+    rolled = jnp.roll(arr, -lcol0, axis=1)
+    rolled = jax.lax.dynamic_update_slice(rolled, vals.astype(arr.dtype), (0, 0))
+    return jnp.roll(rolled, lcol0, axis=1)
+
+
 def clear_columns(state: RingState, from_gcol: jax.Array, to_gcol: jax.Array) -> RingState:
     """Clear ring columns in [from_gcol, to_gcol] (reference clearColumns,
     src/clustering/continuous_clustering.cpp:1094-1145), vectorized as a
