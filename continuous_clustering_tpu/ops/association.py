@@ -721,7 +721,14 @@ def associate_and_complete(
         ring_start=ring_start_new,
         overflow=state.overflow | window_overflow,
     )
-    state = clear_columns(state, ring_start_old, ring_start_new - 1)
+    # ring_start only advances on completions that moved the frontier a full
+    # rotation forward; skip the 21 full-ring masked resets otherwise
+    state = jax.lax.cond(
+        ring_start_new > ring_start_old,
+        lambda s: clear_columns(s, ring_start_old, ring_start_new - 1),
+        lambda s: s,
+        state,
+    )
     return CompleteResult(
         state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new
     )
