@@ -10,7 +10,7 @@
 //     f32 x, y, z; u64 stamp; u64 uidx; u8 intensity
 // Output (binary): records of (u64 uidx, u8 ground_label, u64 cluster_id)
 // for every point in a finalized column (finished_column callback,
-// ground_only=false), ground_label normalized to 0..4.
+// ground_only=false), ground_label as the raw published enum value.
 
 #include <cstdint>
 #include <cstdio>
@@ -69,11 +69,9 @@ int main(int argc, char** argv) {
                 clustering.range_image_[lc * clustering.num_rows_ + r];
             if (p.globally_unique_point_index == static_cast<uint64_t>(-1))
               continue;
-            uint8_t gl = 0;
-            if (p.ground_point_label == GP_GROUND) gl = 1;
-            else if (p.ground_point_label == GP_OBSTACLE) gl = 2;
-            else if (p.ground_point_label == GP_EGO_VEHICLE) gl = 3;
-            else if (p.ground_point_label == GP_FOG) gl = 4;
+            // raw color-enum value: the TPU framework now uses the same
+            // published label values, so compare without normalization
+            uint8_t gl = static_cast<uint8_t>(p.ground_point_label);
             uint64_t uidx = p.globally_unique_point_index;
             uint64_t id = p.id;
             out.write(reinterpret_cast<const char*>(&uidx), 8);
