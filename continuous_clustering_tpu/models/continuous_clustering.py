@@ -122,19 +122,22 @@ class ContinuousClustering:
         # column capacity per step: firings per batch + slack for uneven
         # column completion at stream start
         self._batch_B = self._batch_F + 32
-        # the completion live window (num_cols + B + 2H) must fit the ring;
-        # aliased window columns would silently corrupt state
+        # the completion live window (num_cols + B + 2H + nth-1) must fit the
+        # ring; aliased window columns would silently corrupt state
+        nth = cfg.clustering.cluster_point_trees_every_nth_column
         win = (
             cfg.range_image.num_columns
             + self._batch_B
             + 2 * cfg.clustering.max_steps_in_row
+            + (nth - 1 if nth > 1 else 0)
         )
         if win > cfg.ring_buffer_max_columns:
             raise ValueError(
                 f"ring buffer too small: {cfg.ring_buffer_max_columns} columns "
                 f"< live window {win} (num_columns + firing_batch_size + 32 + "
-                f"2*max_steps_in_row). Increase ring_buffer_revolutions or "
-                f"reduce the firing batch size."
+                f"2*max_steps_in_row + nth-1). Increase ring_buffer_revolutions, "
+                f"or reduce the firing batch size or "
+                f"cluster_point_trees_every_nth_column."
             )
         self._jit_step = jax.jit(
             partial(pipeline_step, cfg, batch_cols=self._batch_B),

@@ -56,12 +56,29 @@ def pipeline_step_block(
     seg_poses: SegPoses,
     hsg,
     batch_cols: int,
+    profile_cut: str = "",
 ):
     """Host-insertion variant: ingest a dense finished-column block, then
-    segmentation + association + completion (no insertion scan)."""
+    segmentation + association + completion (no insertion scan).
+
+    ``profile_cut`` (profiling only) truncates the program after the named
+    stage: "ingest", "seg", or an association cut ("bits"/"cc"/"union"/
+    "completion").
+    """
     from ..ops.ingest import ingest_columns
 
+    def _cut_info(s):
+        zero = jnp.asarray(0, jnp.int32)
+        return s, StepInfo(
+            gcol0=block.gcol0, n_cols=block.n_cols,
+            fu_old=s.first_unpublished, fu_new=s.first_unpublished,
+            num_new_clusters=zero, cluster_counter_old=s.cluster_counter,
+            reset_required=s.reset_required, overflow=s.overflow,
+        )
+
     state = ingest_columns(config, state, block, batch_cols)
+    if profile_cut == "ingest":
+        return _cut_info(state)
     seg_in = SegmentInputs(
         gcol0=block.gcol0,
         n_cols=block.n_cols,
@@ -71,9 +88,12 @@ def pipeline_step_block(
         height_sensor_to_ground=hsg,
     )
     state = ground_segment_columns(config, state, seg_in, batch_cols)
+    if profile_cut == "seg":
+        return _cut_info(state)
     counter_old = state.cluster_counter
     cres: CompleteResult = associate_and_complete(
-        config, state, AssocInputs(gcol0=block.gcol0, n_cols=block.n_cols), batch_cols
+        config, state, AssocInputs(gcol0=block.gcol0, n_cols=block.n_cols), batch_cols,
+        profile_cut=profile_cut,
     )
     state = cres.state
     info = StepInfo(

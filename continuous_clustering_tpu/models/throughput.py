@@ -44,7 +44,7 @@ def stack_batches(batches) -> FiringBatch:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
-def make_block_scan_runner(config: Config, batch_cols: int):
+def make_block_scan_runner(config: Config, batch_cols: int, profile_cut: str = ""):
     """Scan runner over host-inserted dense column blocks (+ seg poses):
     the insertion scan disappears from the device program entirely."""
     from .step import pipeline_step_block
@@ -52,7 +52,9 @@ def make_block_scan_runner(config: Config, batch_cols: int):
     def run(state: RingState, blocks, seg_poses, hsg):
         def body(s, xs):
             b, sp = xs
-            s2, info = pipeline_step_block(config, s, b, sp, hsg, batch_cols)
+            s2, info = pipeline_step_block(
+                config, s, b, sp, hsg, batch_cols, profile_cut=profile_cut
+            )
             return s2, info
 
         return jax.lax.scan(body, state, (blocks, seg_poses))

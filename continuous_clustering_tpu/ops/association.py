@@ -452,8 +452,26 @@ class CompleteResult(NamedTuple):
     num_new_clusters: jax.Array  # () i32
 
 
+def _cut_result(state: RingState, fu_old: jax.Array, tensors) -> CompleteResult:
+    """Profiling early-exit: fold a data-dependent scalar from ``tensors``
+    into the carried state so the computation up to the cut point cannot be
+    dead-code-eliminated, then return without the remaining stages."""
+    acc = jnp.float32(0)
+    for t in tensors:
+        if t.dtype == jnp.bool_:
+            t = t.astype(jnp.int32)
+        acc = acc + jnp.sum(t).astype(jnp.float32)
+    sentinel = (acc == jnp.float32(-1.2345678e-38)).astype(jnp.int32)
+    state = dataclasses.replace(state, cluster_counter=state.cluster_counter + sentinel)
+    return CompleteResult(
+        state=state, fu_old=fu_old, fu_new=fu_old,
+        num_new_clusters=jnp.asarray(0, jnp.int32),
+    )
+
+
 def associate_and_complete(
-    config: Config, state: RingState, inputs: AssocInputs, batch_size: int
+    config: Config, state: RingState, inputs: AssocInputs, batch_size: int,
+    profile_cut: str = "",
 ) -> CompleteResult:
     """Run association (CC update) and completion for a column batch.
 
@@ -471,6 +489,8 @@ def associate_and_complete(
 
     bits, active_w, awcols, alcols, mad, active_b = _edge_bits(config, state, inputs, B)
     WCOL = H + B
+    if profile_cut == "bits":
+        return _cut_result(state, state.first_unpublished, (bits,))
 
     max_wp = jnp.max(
         jnp.where(
@@ -507,6 +527,8 @@ def associate_and_complete(
         Lw = _window_cc_stacked(config, bits, active_w, B, max_wp)
     else:
         Lw = _window_cc_vectorized(config, bits, active_w, B, max_wp)
+    if profile_cut == "cc":
+        return _cut_result(state, state.first_unpublished, (Lw,))
 
     # association-window glids + converged window roots (as glids)
     glid_a = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + alcols[None, :])  # (R, WCOL)
@@ -514,14 +536,31 @@ def associate_and_complete(
     batch_active = active_w[:, H:]
 
     # ---- live window ----------------------------------------------------
-    WIN = num_cols + B + 2 * H
+    # the publish frontier can lag the newest column by up to one rotation
+    # (force-finish bound, …cpp:912-919) plus the nth-column completion
+    # cadence (…cpp:841) plus one batch; the window must cover that lag
+    nth = cl.cluster_point_trees_every_nth_column
+    WIN = num_cols + B + 2 * H + (nth - 1 if nth > 1 else 0)
+    if WIN > rc:
+        raise ValueError(
+            f"ring buffer too small for the completion live window: {rc} "
+            f"columns < {WIN} (num_columns + batch + 2*max_steps_in_row + "
+            f"nth-1); increase ring_buffer_revolutions or reduce "
+            f"cluster_point_trees_every_nth_column"
+        )
     fu_old = state.first_unpublished
     # completion also runs for empty batches (n_cols == 0) as long as a
     # segmented column exists: clusters that finished last batch held the
     # frontier one round (reference one-round delay) and are released here
     newest_gcol = inputs.gcol0 + inputs.n_cols - 1
     has_data = (fu_old >= 0) & (newest_gcol >= fu_old)
-    win0 = jnp.maximum(0, jnp.where(has_data, fu_old, 0))
+    # window base: first column of any *unfinished* component.  The publish
+    # frontier itself can lag further (one-round hold of finished clusters,
+    # up to ~2*nth columns); published-but-held columns are frozen and need
+    # no window coverage.
+    win_base_old = jnp.where(state.win_base >= 0, state.win_base, fu_old)
+    clear_bound_old = jnp.where(state.clear_bound >= 0, state.clear_bound, fu_old)
+    win0 = jnp.maximum(0, jnp.where(has_data, win_base_old, 0))
     # the batch must fit in the window; a violation means the frontier is
     # stuck far beyond the force-finish bound -> surface as overflow
     window_overflow = has_data & (inputs.gcol0 + inputs.n_cols - win0 > WIN)
@@ -594,6 +633,8 @@ def associate_and_complete(
     parent_w, _, _ = jax.lax.while_loop(
         union_cond, union_body, (parent_w, jnp.any(halo_act), 0)
     )
+    if profile_cut == "union":
+        return _cut_result(state, fu_old, (parent_w,))
 
     # ---- per-cell clustering fields (window) ----------------------------
     cont_az_w = wtake(state.cont_az).reshape(-1)
@@ -656,12 +697,31 @@ def associate_and_complete(
             min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
         )
         fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
+        # next window base: oldest member column over components that remain
+        # unfinished (finished ones are frozen and leave the active set)
+        wb = jnp.min(jnp.where(is_root & ~finished_root, gmin, I32_MAX))
+        wb = jnp.where(wb == I32_MAX, inputs.gcol0 + inputs.n_cols, wb)
+        win_base_new = jnp.where(
+            has_data, jnp.maximum(win_base_old, wb), win_base_old
+        )
+        # clear one rotation behind the frontier (…cpp:1079) but never past
+        # the *previous* completion's frontier: the host reads [fu_old,
+        # fu_new) from the ring after this step returns (one step later in
+        # async mode), and with nth > num_cols the frontier can jump further
+        # than a rotation in one completion; deferred clears catch up later
         ring_start_new = jnp.where(
             has_data,
-            jnp.maximum(jnp.maximum(0, fu_new - num_cols), ring_start_old),
+            jnp.maximum(
+                jnp.maximum(0, jnp.minimum(fu_new - num_cols, clear_bound_old)),
+                ring_start_old,
+            ),
             ring_start_old,
         )
-        return frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w
+        clear_bound_new = jnp.where(has_data, fu_old, clear_bound_old)
+        return (
+            frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
+            win_base_new, clear_bound_new,
+        )
 
     def skip_completion(ops):
         frozen_w, cid_w, _, parent_w, _ = ops
@@ -671,20 +731,25 @@ def associate_and_complete(
         self_or_parent = jnp.where(parent_w >= 0, parent_w, self_w)
         return (
             frozen_w, cid_w, jnp.asarray(0, jnp.int32), fu_old,
-            ring_start_old, self_or_parent,
+            ring_start_old, self_or_parent, state.win_base, state.clear_bound,
         )
 
-    nth = cl.cluster_point_trees_every_nth_column
     ops = (frozen_in, cid_in, finish_w, parent_w, cell_has_parent)
     if nth <= 1:
-        frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w = completion(ops)
+        (frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
+         win_base_new, clear_bound_new) = completion(ops)
         did_complete = jnp.asarray(True)
     else:
         end = inputs.gcol0 + inputs.n_cols - 1
         contains_nth = (end // nth) >= (inputs.gcol0 + nth - 1) // nth
         did_complete = ((inputs.n_cols == 0) | contains_nth) & has_data
-        frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w = jax.lax.cond(
+        (frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
+         win_base_new, clear_bound_new) = jax.lax.cond(
             did_complete, completion, skip_completion, ops
+        )
+    if profile_cut == "completion":
+        return _cut_result(
+            state, fu_old, (frozen_w, cid_w, root_w, num_new, fu_new)
         )
 
     # ---- write back ------------------------------------------------------
@@ -718,6 +783,8 @@ def associate_and_complete(
         frozen=frozen_new,
         cluster_counter=state.cluster_counter + num_new,
         first_unpublished=fu_new,
+        win_base=win_base_new,
+        clear_bound=clear_bound_new,
         ring_start=ring_start_new,
         overflow=state.overflow | window_overflow,
     )

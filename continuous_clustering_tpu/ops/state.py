@@ -70,6 +70,17 @@ class RingState:
     ring_start: jax.Array          # i32
     ring_end: jax.Array            # i32
     first_unpublished: jax.Array   # i32
+    # completion live-window base: min member column over *unfinished*
+    # components (-1 = fall back to first_unpublished).  The publish
+    # frontier holds just-finished clusters for one completion round
+    # (reference …cpp:943-959), so with a large nth it can lag ~2*nth
+    # columns; the active window only needs to cover unfinished clusters.
+    win_base: jax.Array            # i32
+    # async-safe clearing bound: the publish frontier as of the *previous*
+    # completion (-1 = fall back).  The host reads [fu_old, fu_new) from the
+    # ring after a step returns (one step later in async mode), so clearing
+    # may never pass the previous step's frontier.
+    clear_bound: jax.Array         # i32
     cluster_counter: jax.Array     # i32
     origin_rot: jax.Array          # i32: azimuth origin in whole rotations
     reset_required: jax.Array      # bool
@@ -120,6 +131,8 @@ def init_state(config: Config, num_rows: int) -> RingState:
         ring_start=jnp.asarray(-1, jnp.int32),
         ring_end=jnp.asarray(-1, jnp.int32),
         first_unpublished=jnp.asarray(-1, jnp.int32),
+        win_base=jnp.asarray(-1, jnp.int32),
+        clear_bound=jnp.asarray(-1, jnp.int32),
         cluster_counter=jnp.asarray(1, jnp.int32),
         origin_rot=jnp.asarray(0, jnp.int32),
         reset_required=jnp.asarray(False),

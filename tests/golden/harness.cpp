@@ -5,6 +5,7 @@
 // Input (binary, little endian):
 //   i32 num_rows, i32 num_columns, i32 F
 //   f32 max_distance, i32 stop_after_association, i32 chessboard,
+//   i32 cluster_point_trees_every_nth_column,
 //   f32 ego[6] (h_max, h_ground, l_front, l_rear, w_left, w_right)
 //   then F firings: f64 pose[12] (row-major 3x4), then num_rows points:
 //     f32 x, y, z; u64 stamp; u64 uidx; u8 intensity
@@ -32,7 +33,7 @@ int main(int argc, char** argv) {
   std::ifstream in(argv[1], std::ios::binary);
   std::ofstream out(argv[2], std::ios::binary);
 
-  int32_t num_rows, num_columns, F, stop_assoc, chessboard;
+  int32_t num_rows, num_columns, F, stop_assoc, chessboard, nth;
   float max_distance, ego[6];
   in.read(reinterpret_cast<char*>(&num_rows), 4);
   in.read(reinterpret_cast<char*>(&num_columns), 4);
@@ -40,6 +41,7 @@ int main(int argc, char** argv) {
   in.read(reinterpret_cast<char*>(&max_distance), 4);
   in.read(reinterpret_cast<char*>(&stop_assoc), 4);
   in.read(reinterpret_cast<char*>(&chessboard), 4);
+  in.read(reinterpret_cast<char*>(&nth), 4);
   in.read(reinterpret_cast<char*>(ego), 24);
 
   ContinuousClustering clustering;
@@ -49,6 +51,7 @@ int main(int argc, char** argv) {
   config.clustering.max_distance = max_distance;
   config.clustering.stop_after_association_enabled = stop_assoc != 0;
   config.clustering.ignore_points_in_chessboard_pattern = chessboard != 0;
+  config.clustering.cluster_point_trees_every_nth_column = nth;
   config.ground_segmentation.height_ref_to_maximum_ = ego[0];
   config.ground_segmentation.height_ref_to_ground_ = ego[1];
   config.ground_segmentation.length_ref_to_front_end_ = ego[2];

@@ -45,12 +45,14 @@ def write_stream(
     stop_after_association: bool,
     chessboard: bool,
     ego=(0.5, -1.7, 3.0, -3.0, 1.5, -1.5),
+    nth: int = 1,
 ) -> None:
     num_rows = firings[0]["xyz"].shape[0]
     with open(path, "wb") as fh:
         fh.write(struct.pack("<iii", num_rows, num_columns, len(firings)))
         fh.write(struct.pack("<f", max_distance))
         fh.write(struct.pack("<ii", int(stop_after_association), int(chessboard)))
+        fh.write(struct.pack("<i", int(nth)))
         fh.write(struct.pack("<6f", *ego))
         for f, pose in zip(firings, poses):
             fh.write(np.asarray(pose, np.float64)[:3, :].tobytes())

@@ -147,6 +147,67 @@ def test_pipeline_matches_reference_moving_sensor(harness, tmp_path):
     assert agreement >= 0.98, f"moving-sensor partition agreement {agreement}"
 
 
+@pytest.mark.parametrize("nth,ring_revs,num_frames", [(300, 4, 6), (1024, 8, 11)])
+def test_pipeline_matches_reference_nth_gated(harness, tmp_path, nth, ring_revs, num_frames):
+    """cluster_point_trees_every_nth_column > 1 (the bench configuration,
+    reference …cpp:841): completion is gated to batches containing an nth
+    multiple, exercising skip_completion's 1-hop parent write-back and the
+    gated ring clear.  The stream spans multiple revolutions and crosses our
+    ring seam (ring = ring_revs * 220 columns < stream length)."""
+    import dataclasses
+
+    firings, poses = make_stream(seed=11, num_frames=num_frames)
+    assert len(firings) > ring_revs * NUM_COLS  # crosses the ring seam
+    stream = tmp_path / f"stream_nth{nth}.bin"
+    runner.write_stream(
+        stream, firings, poses, NUM_COLS,
+        max_distance=0.5, stop_after_association=False, chessboard=False,
+        nth=nth,
+    )
+    ref_labels, ref_ground = runner.run_golden(
+        harness, stream, tmp_path / f"out_nth{nth}.bin"
+    )
+    assert len(ref_labels) > 1000
+
+    cfg = small_config(stop_after_association=False)
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=NUM_COLS, ring_buffer_revolutions=ring_revs
+        ),
+        clustering=dataclasses.replace(
+            cfg.clustering, cluster_point_trees_every_nth_column=nth
+        ),
+    )
+    our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
+
+    common = set(ref_labels) & set(our_labels)
+    assert len(common) > 0.9 * len(ref_labels)
+    g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
+    assert g_match >= 0.999, f"nth={nth} ground agreement {g_match}"
+    agreement = partition_agreement(ref_labels, our_labels)
+    assert agreement >= 0.98, f"nth={nth} partition agreement {agreement}"
+
+
+def test_nth_window_validation():
+    """A ring too small for the nth-extended live window must be rejected
+    (silent aliasing would corrupt state)."""
+    import dataclasses
+
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        clustering=dataclasses.replace(
+            cfg.clustering, cluster_point_trees_every_nth_column=1024
+        )
+    )
+    pipe = ContinuousClustering(cfg, firing_batch_size=64)
+    with pytest.raises(ValueError, match="ring buffer too small"):
+        pipe.reset(NUM_ROWS)
+
+
 def test_python_oracle_matches_compiled_reference(harness, tmp_path):
     """The Python oracle itself must track the real C++ core."""
     firings, poses = make_stream(seed=4, num_frames=1)
