@@ -33,6 +33,13 @@ from ..config import Config
 I32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RingState:
@@ -158,34 +165,68 @@ CELL_FIELDS = tuple(CLEAR_VALUES.keys())
 def ring_read(arr: jax.Array, lcol0: jax.Array, width: int) -> jax.Array:
     """Read ``width`` consecutive ring columns starting at ``lcol0`` (mod rc).
 
-    TPU gathers lower near-serially; a wrap-extended contiguous
-    dynamic_slice is pure block copies.
+    O(width), ring-size-independent: one dynamic slice at
+    ``min(lcol0, rc - width)`` plus a static head slice, combined with
+    window-sized rolls (a wrap-extending concat would copy the whole ring).
     """
     R, rc = arr.shape
     if width >= rc:
         # fall back to the general gather (only trivial ring sizes)
         idx = (lcol0 + jnp.arange(width, dtype=jnp.int32)) % rc
         return arr[:, idx]
-    ext = jnp.concatenate([arr, jax.lax.slice(arr, (0, 0), (R, width))], axis=1)
-    return jax.lax.dynamic_slice(ext, (0, lcol0), (R, width))
+    if not _on_tpu():
+        # CPU: the wrap-extended contiguous slice is faster there
+        ext = jnp.concatenate([arr, jax.lax.slice(arr, (0, 0), (R, width))], axis=1)
+        return jax.lax.dynamic_slice(ext, (0, lcol0), (R, width))
+    # over = columns wrapping past the ring end (0 in the common case)
+    over = jnp.maximum(0, lcol0 - (rc - width))
+    s = jnp.minimum(lcol0, rc - width)
+    part = jax.lax.dynamic_slice(arr, (0, s), (R, width))   # covers [s, s+w)
+    head = jax.lax.slice(arr, (0, 0), (R, width))           # covers [0, w)
+    # desired[j] = arr[(lcol0 + j) % rc]:
+    #   j <  w - over -> part[j + over]   (note lcol0 - s == over)
+    #   j >= w - over -> head[j - (w - over)]
+    part_r = jnp.roll(part, -over, axis=1)
+    head_r = jnp.roll(head, width - over, axis=1)
+    j = jnp.arange(width, dtype=jnp.int32)[None, :]
+    return jnp.where(j < width - over, part_r, head_r)
 
 
 def ring_write(arr: jax.Array, lcol0: jax.Array, vals: jax.Array) -> jax.Array:
     """Overwrite ``vals.shape[1]`` consecutive ring columns starting at
     ``lcol0`` (mod rc) — the scatter-free analog of :func:`ring_read`.
 
-    A gathered column scatter (``arr.at[:, idx].set``) lowers near-serially
-    on TPU; rolling the ring so the block is leading, overwriting with a
-    static-offset slice, and rolling back is pure contiguous copies.
+    O(width): two read-modify-write dynamic_update_slices of window-sized
+    regions (a gathered column scatter lowers near-serially on TPU, and the
+    previous roll-the-whole-ring scheme copied the full ring four times).
     """
     R, rc = arr.shape
     width = vals.shape[1]
     if width > rc:
         idx = (lcol0 + jnp.arange(width, dtype=jnp.int32)) % rc
         return arr.at[:, idx].set(vals.astype(arr.dtype))
-    rolled = jnp.roll(arr, -lcol0, axis=1)
-    rolled = jax.lax.dynamic_update_slice(rolled, vals.astype(arr.dtype), (0, 0))
-    return jnp.roll(rolled, lcol0, axis=1)
+    vals = vals.astype(arr.dtype)
+    if not _on_tpu():
+        # CPU: roll-the-ring is faster there
+        rolled = jnp.roll(arr, -lcol0, axis=1)
+        rolled = jax.lax.dynamic_update_slice(rolled, vals, (0, 0))
+        return jnp.roll(rolled, lcol0, axis=1)
+    over = jnp.maximum(0, lcol0 - (rc - width))   # wrapped column count
+    s = jnp.minimum(lcol0, rc - width)
+    # rolled[j] = vals[j - over]: tail region [s, s+w) takes rolled[j] for
+    # j >= over (global col s+j == lcol0 + (j - over)); head region [0, w)
+    # takes rolled[j] for j < over (global col j == lcol0 + (w - over) + j)
+    rolled = jnp.roll(vals, over, axis=1)
+    j = jnp.arange(width, dtype=jnp.int32)[None, :]
+    cur_tail = jax.lax.dynamic_slice(arr, (0, s), (R, width))
+    arr = jax.lax.dynamic_update_slice(
+        arr, jnp.where(j >= over, rolled, cur_tail), (0, s)
+    )
+    cur_head = jax.lax.slice(arr, (0, 0), (R, width))
+    arr = jax.lax.dynamic_update_slice(
+        arr, jnp.where(j < over, rolled, cur_head), (0, 0)
+    )
+    return arr
 
 
 def clear_columns(state: RingState, from_gcol: jax.Array, to_gcol: jax.Array) -> RingState:
