@@ -580,8 +580,6 @@ def associate_and_complete(
     def wtake(arr):
         return ring_read(arr, win0_lc, WIN)  # (R, WIN)
 
-    glid_w = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + wlcols[None, :]).reshape(-1)
-
     n_w = R * WIN
     self_w = jnp.arange(n_w, dtype=jnp.int32)
     parent_w = widx_of(wtake(state.parent).reshape(-1))
@@ -759,9 +757,13 @@ def associate_and_complete(
     # keep the original parent where it could not be window-translated
     # (frozen cells whose root slid out of the window)
     orig_parent = wtake(state.parent).reshape(-1)
+    # window-flat index -> glid arithmetically (a take(glid_w, root_w) here
+    # is a 225k-element gather, ~ms-scale on TPU; this is 4 elementwise ops)
+    root_r = root_w // WIN
+    root_glid_arith = root_r * rc + (win0_lc + (root_w - root_r * WIN)) % rc
     root_glid_out = jnp.where(
         cell_has_parent,
-        jnp.where(parent_w >= 0, jnp.take(glid_w, root_w), orig_parent),
+        jnp.where(parent_w >= 0, root_glid_arith, orig_parent),
         -1,
     )
 
