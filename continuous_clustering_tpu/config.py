@@ -87,6 +87,13 @@ class ClusteringConfig:
     ignore_points_with_too_big_inclination_angle_diff: bool = True
     use_last_point_for_cluster_stamp: bool = False
     cluster_point_trees_every_nth_column: int = 1
+    # TPU-native knob (no reference analog): capacity of the device-resident
+    # component table.  Components (point trees in the reference) live from
+    # first association until their ring columns are cleared one rotation
+    # after publishing; exceeding the capacity raises the same overflow error
+    # as a too-slow ring buffer.  The reference's equivalent state is the
+    # unbounded per-cell tree links.
+    max_active_components: int = 8192
 
 
 @dataclass(frozen=True)

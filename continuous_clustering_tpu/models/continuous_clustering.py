@@ -483,9 +483,21 @@ class ContinuousClustering:
             "finished_at_continuous_azimuth_angle",
             take(s.finish_az).astype(np.float64) + origin_az,
         )
-        put("id", take(s.cluster_id).astype(np.uint64))
-        # tree fields have no analog in the CC formulation; root index stands in
-        put("tree_id", take(s.parent).astype(np.uint64))
-        put("tree_root_row_index", (np.maximum(take(s.parent), 0) // rc).astype(np.uint16))
-        put("tree_root_column_index", (np.maximum(take(s.parent), 0) % rc).astype(np.int64))
+        # per-cell cluster ids are resolved through the component-slot table
+        # (cells store one slot index; ids/roots live at K-sized tables —
+        # slots are freed only after their cells are cleared, so any cell
+        # still holding a slot resolves to valid component data)
+        slots = take(s.slot)
+        sp = np.asarray(s.slot_parent)      # path-compressed on device
+        cid_tab = np.asarray(s.slot_cid)
+        rep_tab = np.asarray(s.slot_rep)
+        res = sp[np.maximum(slots, 0)]
+        has = slots >= 0
+        put("id", np.where(has, cid_tab[res], 0).astype(np.uint64))
+        # tree fields have no analog in the CC formulation; the component's
+        # representative cell stands in for the tree root
+        rep = np.where(has, rep_tab[res], 0)
+        put("tree_id", np.maximum(rep, 0).astype(np.uint64))
+        put("tree_root_row_index", (np.maximum(rep, 0) // rc).astype(np.uint16))
+        put("tree_root_column_index", (np.maximum(rep, 0) % rc).astype(np.int64))
         return out

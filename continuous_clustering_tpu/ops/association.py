@@ -21,8 +21,12 @@ graph:
 
 * **connected components** — iterative min-label diffusion over the window
   (halo of ``max_steps_in_row`` columns + the new batch) with pointer-jumping
-  compression, then a FastSV-style union of window components into the global
-  parent array through the halo cells.
+  compression, then a FastSV-style union of window components into a compact
+  K-slot component table (``state.slot_*``) through the slotted halo cells.
+  Cells store one slot index; all per-component aggregates (finish azimuth,
+  column span, count) are maintained incrementally at slot granularity, so
+  completion is K-sized elementwise work instead of window-scale
+  segment-reduces.
 
 * **completion** (…cpp:837-974) — per resolved root: segment-max of
   ``finish_az = cont_az + asin(max_d/dist)`` (the reference's
@@ -97,7 +101,17 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     distw = take(state.distance)
     gcolw = take(state.gcol)
     ignw = take(state.is_ignored)
-    frozw = take(state.frozen)
+    slotw = take(state.slot)
+    # frozen on the fly: a cell belongs to a finished cluster iff its slot's
+    # canonical component is finished (slot_parent is kept path-compressed,
+    # so one hop resolves).  Only halo cells (columns < gcol0) carry valid
+    # slots: batch columns are fresh this step and may still hold a STALE
+    # slot from one rotation ago (ingest overwrites cells before the lagging
+    # ring clear reaches them), so the batch region is masked out here and
+    # in the union below.
+    is_halo = wcols[None, :] < inputs.gcol0
+    slot_res = jnp.take(state.slot_parent, jnp.maximum(slotw, 0))
+    frozw = is_halo & (slotw >= 0) & jnp.take(state.slot_finished, slot_res)
 
     col_ok = (wcols[None, :] >= state.first_unpublished) & (
         wcols[None, :] < inputs.gcol0 + inputs.n_cols
@@ -194,7 +208,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     bits = jnp.stack([w0, w1], axis=1)  # (ND, 2, R, B)
-    return bits, active_w, wcols, lcols, mad, active_b
+    return bits, active_w, wcols, lcols, mad, active_b, slotw
 
 
 def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
@@ -426,25 +440,6 @@ def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
     return cc_converge(sweep, R, WCOL)
 
 
-def _resolve(parent_flat: jax.Array, iters: int = 0) -> jax.Array:
-    """Pointer-jump the full parent array to fixpoint."""
-    n = parent_flat.shape[0]
-    self_idx = jnp.arange(n, dtype=jnp.int32)
-    p = jnp.where(parent_flat < 0, self_idx, parent_flat)
-
-    def cond(c):
-        p, changed, it = c
-        return changed & (it < 64)
-
-    def body(c):
-        p, _, it = c
-        p2 = jnp.take(p, p)
-        return p2, jnp.any(p2 != p), it + 1
-
-    p, _, _ = jax.lax.while_loop(cond, body, (p, jnp.asarray(True), 0))
-    return p
-
-
 class CompleteResult(NamedTuple):
     state: RingState
     fu_old: jax.Array        # () i32 first_unpublished before completion
@@ -475,10 +470,13 @@ def associate_and_complete(
 ) -> CompleteResult:
     """Run association (CC update) and completion for a column batch.
 
-    The global union and all completion reductions operate on a *live
-    window* of ``num_columns + B + 2H`` columns starting at the publish
-    frontier — every unfrozen cell lives there (unfinished clusters are
-    force-finished before spanning a rotation) — instead of the whole ring.
+    Component state lives in a compact K-slot table (``state.slot_*``): each
+    cell stores one slot index, and all per-component reductions (the
+    reference's tree combination + completion checks, …cpp:837-974) are
+    K-sized or association-window-sized ops.  Nothing here touches arrays at
+    ring or live-window scale — on TPU, gathers/scatters cost ~linear in
+    their index count, so keeping the irregular ops at 16k/8k scale instead
+    of 225k is worth ~4 ms per batch (scripts/microbench_ops.py).
     """
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
@@ -486,8 +484,12 @@ def associate_and_complete(
     rc = state.ring_cols
     B = batch_size
     num_cols = config.range_image.num_columns
+    K = cl.max_active_components
+    idxK = jnp.arange(K, dtype=jnp.int32)
 
-    bits, active_w, awcols, alcols, mad, active_b = _edge_bits(config, state, inputs, B)
+    bits, active_w, awcols, alcols, mad, active_b, slotw = _edge_bits(
+        config, state, inputs, B
+    )
     WCOL = H + B
     if profile_cut == "bits":
         return _cut_result(state, state.first_unpublished, (bits,))
@@ -530,183 +532,207 @@ def associate_and_complete(
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
 
-    # association-window glids + converged window roots (as glids)
-    glid_a = (jnp.arange(R, dtype=jnp.int32)[:, None] * rc + alcols[None, :])  # (R, WCOL)
-    root_glid = jnp.take(glid_a.reshape(-1), Lw.reshape(-1)).reshape(R, WCOL)
-    batch_active = active_w[:, H:]
 
-    # ---- live window ----------------------------------------------------
-    # the publish frontier can lag the newest column by up to one rotation
-    # (force-finish bound, …cpp:912-919) plus the nth-column completion
-    # cadence (…cpp:841) plus one batch; the window must cover that lag
-    nth = cl.cluster_point_trees_every_nth_column
-    WIN = num_cols + B + 2 * H + (nth - 1 if nth > 1 else 0)
-    if WIN > rc:
-        raise ValueError(
-            f"ring buffer too small for the completion live window: {rc} "
-            f"columns < {WIN} (num_columns + batch + 2*max_steps_in_row + "
-            f"nth-1); increase ring_buffer_revolutions or reduce "
-            f"cluster_point_trees_every_nth_column"
-        )
+    # ---- window labels -> component slots ---------------------------------
+    n_wc = R * WCOL
+    self_wl = jnp.arange(n_wc, dtype=jnp.int32)
+    lab = Lw.reshape(-1)                      # converged window labels (wlids)
+    activef = active_w.reshape(-1)
+    batchf = jnp.concatenate(
+        [jnp.zeros((R, H), bool), active_b], axis=1
+    ).reshape(-1)
+    slotf = slotw.reshape(-1)
+    # batch columns may hold stale slots from one rotation ago (see
+    # _edge_bits); only halo cells' slots are trusted
+    halof = (awcols[None, :] < inputs.gcol0).reshape(1, WCOL)
+    halof = jnp.broadcast_to(halof, (R, WCOL)).reshape(-1)
+    has_slot = activef & halof & (slotf >= 0)
+
     fu_old = state.first_unpublished
-    # completion also runs for empty batches (n_cols == 0) as long as a
-    # segmented column exists: clusters that finished last batch held the
-    # frontier one round (reference one-round delay) and are released here
     newest_gcol = inputs.gcol0 + inputs.n_cols - 1
     has_data = (fu_old >= 0) & (newest_gcol >= fu_old)
-    # window base: first column of any *unfinished* component.  The publish
-    # frontier itself can lag further (one-round hold of finished clusters,
-    # up to ~2*nth columns); published-but-held columns are frozen and need
-    # no window coverage.
-    win_base_old = jnp.where(state.win_base >= 0, state.win_base, fu_old)
-    clear_bound_old = jnp.where(state.clear_bound >= 0, state.clear_bound, fu_old)
-    win0 = jnp.maximum(0, jnp.where(has_data, win_base_old, 0))
-    # the batch must fit in the window; a violation means the frontier is
-    # stuck far beyond the force-finish bound -> surface as overflow
-    window_overflow = has_data & (inputs.gcol0 + inputs.n_cols - win0 > WIN)
 
-    wcols = win0 + jnp.arange(WIN, dtype=jnp.int32)
-    wlcols = wcols % rc
-    win0_lc = win0 % rc
+    SENT = jnp.int32(K)
 
-    def widx_of(lid):
-        """Translate a global cell lid to a window-flat index (-1 if outside)."""
-        r = lid // rc
-        l = lid % rc
-        rel = (l - win0_lc) % rc
-        ok = (lid >= 0) & (rel < WIN)
-        return jnp.where(ok, r * WIN + rel, -1)
+    # per-label minimum existing (resolved) slot: the hub of a static edge
+    # star connecting every slotted member to the label (FastSV over these
+    # edges merges all components the reference would merge, …cpp:795-833)
+    rs0 = jnp.where(
+        has_slot, jnp.take(state.slot_parent, jnp.maximum(slotf, 0)), SENT
+    )
+    m0 = (
+        jnp.full(n_wc, SENT, jnp.int32)
+        .at[jnp.where(activef, lab, n_wc)]
+        .min(rs0, mode="drop")
+    )
+    m0lab = jnp.take(m0, jnp.where(activef, lab, 0))
+    edge_ok = has_slot & (m0lab < rs0)
+    ea = jnp.where(edge_ok, rs0, 0)
+    eb = jnp.where(edge_ok, m0lab, 0)
 
-    def wtake(arr):
-        return ring_read(arr, win0_lc, WIN)  # (R, WIN)
-
-    n_w = R * WIN
-    self_w = jnp.arange(n_w, dtype=jnp.int32)
-    parent_w = widx_of(wtake(state.parent).reshape(-1))
-    cell_has_parent = wtake(state.parent).reshape(-1) >= 0
-
-    # new batch points adopt their association-window root; masked entries
-    # get an out-of-bounds index and are dropped (never alias a real cell)
-    batch_widx = widx_of(glid_a[:, H:].reshape(-1))
-    batch_root_widx = widx_of(root_glid[:, H:].reshape(-1))
-    upd = batch_active.reshape(-1) & (batch_widx >= 0)
-    upd_idx = jnp.where(upd, batch_widx, n_w)
-    parent_w = parent_w.at[upd_idx].set(batch_root_widx, mode="drop")
-    cell_has_parent = cell_has_parent.at[upd_idx].set(True, mode="drop")
-
-    # halo cells: union(old component, window component) — FastSV iteration
-    halo_widx = widx_of(glid_a[:, :H].reshape(-1))
-    halo_root_widx = widx_of(root_glid[:, :H].reshape(-1))
-    halo_act = active_w[:, :H].reshape(-1) & (halo_widx >= 0) & (halo_root_widx >= 0)
+    def _chase(p, idx, iters):
+        r = idx
+        for _ in range(iters):
+            r = jnp.take(p, r)
+        return r
 
     def union_cond(c):
         p, changed, it = c
         return changed & (it < 32)
 
-    def _resolve_points(p, idx, iters=6):
-        """Resolve only the given endpoints by chasing pointers (small
-        gathers on the endpoint set instead of full-window jumping).
-        Partial resolution is fine: the union scatter-min is monotone and
-        the outer change-detection loop finishes the job."""
-        r = jnp.take(p, idx)
-        for _ in range(iters):
-            r = jnp.where(r >= 0, jnp.take(p, jnp.maximum(r, 0)), r)
-        return jnp.where(r >= 0, r, idx)
-
-    ha = jnp.where(halo_act, halo_widx, 0)
-    hb = jnp.where(halo_act, halo_root_widx, 0)
-    hab = jnp.concatenate([ha, hb])  # one joint resolve per iteration
-    n_h = ha.shape[0]
-
     def union_body(c):
         p, _, it = c
-        r = _resolve_points(p, hab)
-        ra, rb = r[:n_h], r[n_h:]
+        ra = _chase(p, ea, 2)
+        rb = _chase(p, eb, 2)
         lo = jnp.minimum(ra, rb)
         hi = jnp.maximum(ra, rb)
-        do = halo_act & (lo != hi)
-        new_p = p.at[jnp.where(do, hi, n_w)].min(lo, mode="drop")
-        return new_p, jnp.any(do), it + 1
+        do = edge_ok & (lo != hi)
+        p2 = p.at[jnp.where(do, hi, K)].min(lo, mode="drop")
+        p2 = jnp.take(p2, p2)  # K-scale compression every round
+        return p2, jnp.any(p2 != p), it + 1
 
-    parent_w, _, _ = jax.lax.while_loop(
-        union_cond, union_body, (parent_w, jnp.any(halo_act), 0)
+    slot_parent, _, _ = jax.lax.while_loop(
+        union_cond, union_body, (state.slot_parent, jnp.any(edge_ok), 0)
+    )
+
+    # full path compression (invariant: slot_parent leaves this function
+    # fully compressed; _edge_bits and get_columns rely on one-hop resolve)
+    def comp_cond(c):
+        return c[1]
+
+    def comp_body(c):
+        p, _ = c
+        p2 = jnp.take(p, p)
+        return p2, jnp.any(p2 != p)
+
+    slot_parent, _ = jax.lax.while_loop(
+        comp_cond, comp_body, (slot_parent, jnp.asarray(True))
     )
     if profile_cut == "union":
-        return _cut_result(state, fu_old, (parent_w,))
+        return _cut_result(state, fu_old, (slot_parent,))
 
-    # ---- per-cell clustering fields (window) ----------------------------
-    cont_az_w = wtake(state.cont_az).reshape(-1)
-    finish_w = wtake(state.finish_az).reshape(-1)
-    mad_w = jnp.zeros(n_w, jnp.float32).at[upd_idx].set(mad.reshape(-1), mode="drop")
-    is_new = jnp.zeros(n_w, bool).at[upd_idx].set(True, mode="drop")
-    finish_w = jnp.where(is_new, cont_az_w + mad_w, finish_w)
+    # ---- batch contributions per window label -----------------------------
+    # every new point contributes exactly once, in its ingest batch (halo
+    # cells contributed when they were batch cells); reference accumulation
+    # …cpp:669-671,818 (finish azimuth) and …cpp:912-936 (columns / count)
+    lc0b = inputs.gcol0 % rc
+    caz_b = ring_read(state.cont_az, lc0b, B)          # (R, B)
+    finish_b = caz_b + mad
+    fin_flat = jnp.concatenate(
+        [jnp.zeros((R, H), jnp.float32), finish_b], axis=1
+    ).reshape(-1)
+    gw = jnp.broadcast_to(awcols[None, :], (R, WCOL)).reshape(-1)
 
-    # ---- completion (…cpp:837-974) --------------------------------------
-    # the reference runs tree combination every
-    # cluster_point_trees_every_nth_column columns (…cpp:841); at batch
-    # granularity, completion runs when the batch contains a multiple of nth
-    # (always, when nth <= 1) or on empty finalization kicks
-    frozen_in = wtake(state.frozen).reshape(-1)
-    cid_in = wtake(state.cluster_id).reshape(-1)
-    gcol_w = wtake(state.gcol).reshape(-1)
+    blab = jnp.where(batchf, lab, n_wc)
+    neg_inf = jnp.float32(-jnp.inf)
+    fin_l = jnp.full(n_wc, neg_inf).at[blab].max(fin_flat, mode="drop")
+    gmin_l = jnp.full(n_wc, I32_MAX, jnp.int32).at[blab].min(gw, mode="drop")
+    gmax_l = jnp.full(n_wc, -1, jnp.int32).at[blab].max(gw, mode="drop")
+    cnt_l = jnp.zeros(n_wc, jnp.int32).at[blab].add(1, mode="drop")
+
+    # ---- allocate slots for brand-new components --------------------------
+    # a label without any slotted member consists purely of batch cells
+    is_rep = activef & (lab == self_wl)
+    need_new = is_rep & (m0 >= SENT) & (cnt_l > 0)
+    nn2d = need_new.reshape(R, WCOL).astype(jnp.int32)
+    within = jnp.cumsum(nn2d, axis=0)                  # 2D rank (1D cumsum at
+    ctot = within[-1]                                  # n_wc lowers poorly)
+    coff = jnp.cumsum(ctot) - ctot
+    new_rank = (within + coff[None, :]).reshape(-1)    # 1-based where need_new
+    n_new = coff[-1] + ctot[-1]
+
+    free = ~state.slot_live
+    free_rank = jnp.cumsum(free.astype(jnp.int32))
+    n_free = free_rank[-1]
+    slot_overflow = has_data & (n_new > n_free)
+    free_compact = (
+        jnp.zeros(K, jnp.int32)
+        .at[jnp.where(free, free_rank - 1, K)]
+        .set(idxK, mode="drop")
+    )
+    new_slot_l = jnp.take(free_compact, jnp.clip(new_rank - 1, 0, K - 1))
+
+    # final slot per label position (valid where cnt_l > 0 or m0 < SENT)
+    slot_of_label = jnp.where(
+        need_new,
+        new_slot_l,
+        jnp.take(slot_parent, jnp.clip(m0, 0, K - 1)),
+    )
+
+    # ---- write batch cells' slots (and finish azimuths) to the ring -------
+    cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
+    wmask = (jnp.arange(B) < inputs.n_cols)[None, :]
+    cur_slot = ring_read(state.slot, lc0b, B)
+    slot_ring = ring_write(
+        state.slot, lc0b,
+        jnp.where(wmask, cell_slot.reshape(R, WCOL)[:, H:], cur_slot),
+    )
+    cur_fin = ring_read(state.finish_az, lc0b, B)
+    fin_ring = ring_write(
+        state.finish_az, lc0b,
+        jnp.where(wmask & active_b, finish_b, cur_fin),
+    )
+
+    # ---- fold aggregates: demoted canonicals + batch contributions --------
+    demote = state.slot_valid & (slot_parent != idxK)
+    tgtd = jnp.where(demote, slot_parent, K)
+    fin_t = state.slot_finish.at[tgtd].max(state.slot_finish, mode="drop")
+    gmin_t = state.slot_gmin.at[tgtd].min(state.slot_gmin, mode="drop")
+    gmax_t = state.slot_gmax.at[tgtd].max(state.slot_gmax, mode="drop")
+    cnt_t = state.slot_count.at[tgtd].add(
+        jnp.where(demote, state.slot_count, 0), mode="drop"
+    )
+    # demoted slots stay live (cells still reference them) but become
+    # identity-holding forwarders
+    fin_t = jnp.where(demote, neg_inf, fin_t)
+    gmin_t = jnp.where(demote, I32_MAX, gmin_t)
+    gmax_t = jnp.where(demote, -1, gmax_t)
+    cnt_t = jnp.where(demote, 0, cnt_t)
+    valid_t = state.slot_valid & ~demote
+
+    tgt_new = jnp.where(need_new, new_slot_l, K)
+    live_t = state.slot_live.at[tgt_new].set(True, mode="drop")
+    valid_t = valid_t.at[tgt_new].set(True, mode="drop")
+    rep_glid = (self_wl // WCOL) * rc + (
+        inputs.gcol0 - H + self_wl % WCOL
+    ) % rc
+    rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
+
+    tgt_l = jnp.where(cnt_l > 0, slot_of_label, K)
+    fin_t = fin_t.at[tgt_l].max(fin_l, mode="drop")
+    gmin_t = gmin_t.at[tgt_l].min(gmin_l, mode="drop")
+    gmax_t = gmax_t.at[tgt_l].max(gmax_l, mode="drop")
+    cnt_t = cnt_t.at[tgt_l].add(jnp.where(cnt_l > 0, cnt_l, 0), mode="drop")
+
+    # ---- completion (…cpp:837-974), all K-sized ---------------------------
+    newest = jnp.maximum(newest_gcol, 0) % rc
+    cur_min_az = jnp.min(state.cont_az[:, newest])
     ring_start_old = state.ring_start
+    clear_bound_old = jnp.where(state.clear_bound >= 0, state.clear_bound, fu_old)
 
     def completion(ops):
-        frozen_w, cid_w, finish_w, parent_w, cell_has_parent = ops
-        root_w = _resolve(parent_w)
-        col_live = (gcol_w == jnp.broadcast_to(wcols[None, :], (R, WIN)).reshape(-1))
-        active = cell_has_parent & ~frozen_w & col_live
-        root = jnp.where(active, root_w, self_w)
+        (live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep) = ops
+        cand = live & valid & ~finished
+        finished_new = cand & (
+            (fin <= cur_min_az) | ((gmax + 1 - gmin) >= num_cols)
+        ) & has_data
+        publish = finished_new & (cnt > 5)
+        rank = jnp.cumsum(publish.astype(jnp.int32))
+        num_new = jnp.where(has_data, rank[-1], 0)
+        cid = jnp.where(publish, state.cluster_counter + rank - 1, cid)
+        finished = finished | finished_new
 
-        newest = jnp.maximum(newest_gcol, 0) % rc
-        cur_min_az = jnp.min(state.cont_az[:, newest])
-
-        big_f = jnp.float32(jnp.finfo(jnp.float32).max)
-        finish_max = jnp.full(n_w, -big_f).at[root].max(jnp.where(active, finish_w, -big_f))
-        gmin = jnp.full(n_w, I32_MAX).at[root].min(jnp.where(active, gcol_w, I32_MAX))
-        gmax = jnp.full(n_w, -1).at[root].max(jnp.where(active, gcol_w, -1))
-        count = jnp.zeros(n_w, jnp.int32).at[root].add(active.astype(jnp.int32))
-
-        is_root = active & (root == self_w)
-        exceeds = (gmax + 1 - gmin) >= num_cols  # force-finish (…cpp:912-919)
-        finished_root = is_root & ((finish_max <= cur_min_az) | exceeds)
-
-        publish_root = finished_root & (count > 5)
-        # rank via 2D prefix sums: a flat 1D cumsum over R*WIN lowers poorly
-        pub2d = publish_root.reshape(R, WIN).astype(jnp.int32)
-        within_col = jnp.cumsum(pub2d, axis=0)            # (R, WIN) fast
-        col_tot = within_col[-1]                          # (WIN,)
-        col_off = jnp.cumsum(col_tot) - col_tot           # exclusive, small
-        rank = (within_col + col_off[None, :]).reshape(-1)
-        ids = jnp.where(publish_root, state.cluster_counter + rank - 1, 0)
-        num_new = jnp.where(has_data, col_off[-1] + col_tot[-1], 0)
-
-        # one member-propagation gather: id and finished flag packed
-        packed = jnp.where(finished_root, ids * 2 + 1, 0)
-        got = jnp.take(packed, root)
-        cell_finished = active & ((got & 1) == 1) & has_data
-        cid_w = jnp.where(cell_finished, got >> 1, cid_w)
-        frozen_w = frozen_w | cell_finished
-
-        # frontier advance (…cpp:943-959): the minimum runs over ALL current
-        # roots including just-finished ones (one-round publish hold)
-        min_required = jnp.min(jnp.where(is_root, gmin, I32_MAX))
+        # frontier advance (…cpp:943-959): the minimum runs over all
+        # components that were unfinished entering this completion,
+        # INCLUDING just-finished ones (one-round publish hold)
+        min_required = jnp.min(jnp.where(cand, gmin, I32_MAX))
         min_required = jnp.where(
             min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
         )
         fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
-        # next window base: oldest member column over components that remain
-        # unfinished (finished ones are frozen and leave the active set)
-        wb = jnp.min(jnp.where(is_root & ~finished_root, gmin, I32_MAX))
-        wb = jnp.where(wb == I32_MAX, inputs.gcol0 + inputs.n_cols, wb)
-        win_base_new = jnp.where(
-            has_data, jnp.maximum(win_base_old, wb), win_base_old
-        )
         # clear one rotation behind the frontier (…cpp:1079) but never past
-        # the *previous* completion's frontier: the host reads [fu_old,
-        # fu_new) from the ring after this step returns (one step later in
-        # async mode), and with nth > num_cols the frontier can jump further
-        # than a rotation in one completion; deferred clears catch up later
+        # the previous completion's frontier (async: the host reads
+        # [fu_old, fu_new) one step later)
         ring_start_new = jnp.where(
             has_data,
             jnp.maximum(
@@ -716,82 +742,85 @@ def associate_and_complete(
             ring_start_old,
         )
         clear_bound_new = jnp.where(has_data, fu_old, clear_bound_old)
+
+        # free slots whose component's cells have been cleared from the ring
+        # (cells of freed slots can no longer be read: cleared cells have
+        # slot == -1); forwarding slots are freed with their canonical
+        freed_canon = live & valid & finished & (gmax < ring_start_new)
+        freed = live & jnp.take(freed_canon, sp)
+        live2 = live & ~freed
+        valid2 = valid & ~freed
+        finished2 = finished & ~freed
+        cid2 = jnp.where(freed, 0, cid)
+        sp2 = jnp.where(freed, idxK, sp)
+        fin2 = jnp.where(freed, neg_inf, fin)
+        gmin2 = jnp.where(freed, I32_MAX, gmin)
+        gmax2 = jnp.where(freed, -1, gmax)
+        cnt2 = jnp.where(freed, 0, cnt)
+        rep2 = jnp.where(freed, -1, rep)
         return (
-            frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
-            win_base_new, clear_bound_new,
+            live2, valid2, finished2, cid2, sp2, fin2, gmin2, gmax2, cnt2,
+            rep2, num_new, fu_new, ring_start_new, clear_bound_new,
         )
 
     def skip_completion(ops):
-        frozen_w, cid_w, _, parent_w, _ = ops
-        # no resolve on skipped batches: write back 1-hop parents (chains
-        # grow by at most one per skipped batch; the next completion's
-        # resolve compresses them)
-        self_or_parent = jnp.where(parent_w >= 0, parent_w, self_w)
+        (live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep) = ops
         return (
-            frozen_w, cid_w, jnp.asarray(0, jnp.int32), fu_old,
-            ring_start_old, self_or_parent, state.win_base, state.clear_bound,
+            live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep,
+            jnp.asarray(0, jnp.int32), fu_old, ring_start_old,
+            state.clear_bound,
         )
 
-    ops = (frozen_in, cid_in, finish_w, parent_w, cell_has_parent)
+    ops = (
+        live_t, valid_t, state.slot_finished, state.slot_cid, slot_parent,
+        fin_t, gmin_t, gmax_t, cnt_t, rep_t,
+    )
+    nth = cl.cluster_point_trees_every_nth_column
     if nth <= 1:
-        (frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
-         win_base_new, clear_bound_new) = completion(ops)
-        did_complete = jnp.asarray(True)
+        outs = completion(ops)
     else:
+        # the reference runs tree combination every nth columns (…cpp:841);
+        # at batch granularity completion runs when the batch contains a
+        # multiple of nth, or on empty finalization kicks
         end = inputs.gcol0 + inputs.n_cols - 1
         contains_nth = (end // nth) >= (inputs.gcol0 + nth - 1) // nth
         did_complete = ((inputs.n_cols == 0) | contains_nth) & has_data
-        (frozen_w, cid_w, num_new, fu_new, ring_start_new, root_w,
-         win_base_new, clear_bound_new) = jax.lax.cond(
-            did_complete, completion, skip_completion, ops
-        )
+        outs = jax.lax.cond(did_complete, completion, skip_completion, ops)
+    (
+        live_o, valid_o, finished_o, cid_o, sp_o, fin_o, gmin_o, gmax_o,
+        cnt_o, rep_o, num_new, fu_new, ring_start_new, clear_bound_new,
+    ) = outs
     if profile_cut == "completion":
-        return _cut_result(
-            state, fu_old, (frozen_w, cid_w, root_w, num_new, fu_new)
-        )
+        return _cut_result(state, fu_old, (cid_o, fin_o, cnt_o, fu_new))
 
-    # ---- write back ------------------------------------------------------
-    def put(arr, flat_vals):
-        return ring_write(arr, win0_lc, flat_vals.reshape(R, WIN))
+    # ring reuse check: writing column g reuses the cell of column g - rc,
+    # which must already be published — the head catching the unpublished
+    # tail is the reference's overflow throw (…cpp:337-344).  fu_old is the
+    # pre-completion frontier, i.e. it was advanced at least one step ago.
+    window_overflow = has_data & (newest_gcol - rc >= fu_old)
 
-    # keep the original parent where it could not be window-translated
-    # (frozen cells whose root slid out of the window)
-    orig_parent = wtake(state.parent).reshape(-1)
-    # window-flat index -> glid arithmetically (a take(glid_w, root_w) here
-    # is a 225k-element gather, ~ms-scale on TPU; this is 4 elementwise ops)
-    root_r = root_w // WIN
-    root_glid_arith = root_r * rc + (win0_lc + (root_w - root_r * WIN)) % rc
-    root_glid_out = jnp.where(
-        cell_has_parent,
-        jnp.where(parent_w >= 0, root_glid_arith, orig_parent),
-        -1,
-    )
-
-    def write_completion(arrs):
-        cid_arr, froz_arr = arrs
-        return put(cid_arr, cid_w), put(froz_arr, frozen_w)
-
-    cluster_id_new, frozen_new = jax.lax.cond(
-        did_complete,
-        write_completion,
-        lambda arrs: arrs,
-        (state.cluster_id, state.frozen),
-    )
     state = dataclasses.replace(
         state,
-        parent=put(state.parent, root_glid_out),
-        finish_az=put(state.finish_az, finish_w),
-        cluster_id=cluster_id_new,
-        frozen=frozen_new,
+        slot=slot_ring,
+        finish_az=fin_ring,
+        slot_parent=sp_o,
+        slot_live=live_o,
+        slot_valid=valid_o,
+        slot_finished=finished_o,
+        slot_cid=cid_o,
+        slot_finish=fin_o,
+        slot_gmin=gmin_o,
+        slot_gmax=gmax_o,
+        slot_count=cnt_o,
+        slot_rep=rep_o,
         cluster_counter=state.cluster_counter + num_new,
         first_unpublished=fu_new,
-        win_base=win_base_new,
         clear_bound=clear_bound_new,
         ring_start=ring_start_new,
-        overflow=state.overflow | window_overflow,
+        overflow=state.overflow | window_overflow | slot_overflow,
     )
     # ring_start only advances on completions that moved the frontier a full
-    # rotation forward; skip the 21 full-ring masked resets otherwise
+    # rotation forward; skip the full-ring masked resets otherwise
     state = jax.lax.cond(
         ring_start_new > ring_start_old,
         lambda s: clear_columns(s, ring_start_old, ring_start_new - 1),

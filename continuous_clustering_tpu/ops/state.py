@@ -64,11 +64,25 @@ class RingState:
     debug_label: jax.Array    # i32 (DBG_*)
     is_ignored: jax.Array     # bool
 
-    # stage C/D state
-    parent: jax.Array         # i32 linear cell id (r * ring_cols + lc), -1 = none
+    # stage C/D state — per-cell component membership is a single slot index
+    # into the compact component table below (the reference's per-cell tree
+    # links, clustering/continuous_clustering.hpp:126-161, become one i32:
+    # all per-component quantities live in the K-sized table, so association
+    # and completion never run irregular ops at ring/window scale)
+    slot: jax.Array           # i32 component-table index, -1 = none
     finish_az: jax.Array      # f32: cont_az + max_angle_diff of this point
-    frozen: jax.Array         # bool: belongs to a finished cluster
-    cluster_id: jax.Array     # i32, 0 = none
+
+    # component table, shape (K,) = (clustering.max_active_components,)
+    slot_parent: jax.Array    # i32 union-find parent (kept path-compressed)
+    slot_live: jax.Array      # bool: allocated (canonical or forwarding)
+    slot_valid: jax.Array     # bool: canonical root holding real aggregates
+    slot_finished: jax.Array  # bool: component finished (cells frozen)
+    slot_cid: jax.Array       # i32 published cluster id (0 = none)
+    slot_finish: jax.Array    # f32 max finish_az over members
+    slot_gmin: jax.Array      # i32 min member global column
+    slot_gmax: jax.Array      # i32 max member global column
+    slot_count: jax.Array     # i32 member count
+    slot_rep: jax.Array       # i32 representative cell glid (tree_id analog)
 
     # scalar pipeline state (all shape ())
     prev_rearmost: jax.Array       # i32
@@ -77,12 +91,6 @@ class RingState:
     ring_start: jax.Array          # i32
     ring_end: jax.Array            # i32
     first_unpublished: jax.Array   # i32
-    # completion live-window base: min member column over *unfinished*
-    # components (-1 = fall back to first_unpublished).  The publish
-    # frontier holds just-finished clusters for one completion round
-    # (reference …cpp:943-959), so with a large nth it can lag ~2*nth
-    # columns; the active window only needs to cover unfinished clusters.
-    win_base: jax.Array            # i32
     # async-safe clearing bound: the publish frontier as of the *previous*
     # completion (-1 = fall back).  The host reads [fu_old, fu_new) from the
     # ring after a step returns (one step later in async mode), so clearing
@@ -110,6 +118,7 @@ def init_state(config: Config, num_rows: int) -> RingState:
     src/clustering/continuous_clustering.cpp:11-47)."""
     rc = config.ring_buffer_max_columns
     shape = (num_rows, rc)
+    K = config.clustering.max_active_components
 
     def f32(v):
         return jnp.full(shape, v, dtype=jnp.float32)
@@ -130,15 +139,23 @@ def init_state(config: Config, num_rows: int) -> RingState:
         intensity=i32(0), firing_index=i32(0),
         ground_label=i32(0), debug_label=i32(0),
         is_ignored=jnp.zeros(shape, dtype=bool),
-        parent=i32(-1), finish_az=f32(0.0),
-        frozen=jnp.zeros(shape, dtype=bool), cluster_id=i32(0),
+        slot=i32(-1), finish_az=f32(0.0),
+        slot_parent=jnp.arange(K, dtype=jnp.int32),
+        slot_live=jnp.zeros((K,), bool),
+        slot_valid=jnp.zeros((K,), bool),
+        slot_finished=jnp.zeros((K,), bool),
+        slot_cid=jnp.zeros((K,), jnp.int32),
+        slot_finish=jnp.full((K,), -jnp.inf, jnp.float32),
+        slot_gmin=jnp.full((K,), I32_MAX, jnp.int32),
+        slot_gmax=jnp.full((K,), -1, jnp.int32),
+        slot_count=jnp.zeros((K,), jnp.int32),
+        slot_rep=jnp.full((K,), -1, jnp.int32),
         prev_rearmost=jnp.asarray(0, jnp.int32),
         prev_foremost=jnp.asarray(-1, jnp.int32),
         first_unfinished=jnp.asarray(-1, jnp.int32),
         ring_start=jnp.asarray(-1, jnp.int32),
         ring_end=jnp.asarray(-1, jnp.int32),
         first_unpublished=jnp.asarray(-1, jnp.int32),
-        win_base=jnp.asarray(-1, jnp.int32),
         clear_bound=jnp.asarray(-1, jnp.int32),
         cluster_counter=jnp.asarray(1, jnp.int32),
         origin_rot=jnp.asarray(0, jnp.int32),
@@ -156,7 +173,7 @@ CLEAR_VALUES = {
     "uidx_lo": 0xFFFFFFFF, "uidx_hi": 0xFFFFFFFF,
     "intensity": 0, "firing_index": 0,
     "ground_label": 0, "debug_label": 0, "is_ignored": False,
-    "parent": -1, "finish_az": 0.0, "frozen": False, "cluster_id": 0,
+    "slot": -1, "finish_az": 0.0,
 }
 
 CELL_FIELDS = tuple(CLEAR_VALUES.keys())
@@ -260,6 +277,11 @@ def rebase_azimuth(state: RingState, rotations: int) -> Tuple[RingState, int]:
             state,
             cont_az=state.cont_az - shift,
             finish_az=state.finish_az - shift,
+            # component finish azimuths live in the slot table; only valid
+            # canonical slots hold real values (-inf identities stay put)
+            slot_finish=jnp.where(
+                state.slot_valid, state.slot_finish - shift, state.slot_finish
+            ),
             origin_rot=state.origin_rot + jnp.int32(rotations),
         ),
         rotations,

@@ -147,13 +147,16 @@ def test_pipeline_matches_reference_moving_sensor(harness, tmp_path):
     assert agreement >= 0.98, f"moving-sensor partition agreement {agreement}"
 
 
-@pytest.mark.parametrize("nth,ring_revs,num_frames", [(300, 4, 6), (1024, 8, 11)])
+@pytest.mark.parametrize("nth,ring_revs,num_frames", [(300, 4, 6), (1024, 12, 13)])
 def test_pipeline_matches_reference_nth_gated(harness, tmp_path, nth, ring_revs, num_frames):
     """cluster_point_trees_every_nth_column > 1 (the bench configuration,
     reference …cpp:841): completion is gated to batches containing an nth
-    multiple, exercising skip_completion's 1-hop parent write-back and the
-    gated ring clear.  The stream spans multiple revolutions and crosses our
-    ring seam (ring = ring_revs * 220 columns < stream length)."""
+    multiple, exercising the gated completion and ring clears.  The stream
+    spans multiple revolutions and crosses our ring seam (ring = ring_revs *
+    220 columns < stream length).  Note the publish frontier lags up to
+    ~num_cols + 2*nth columns at this cadence (one-round hold + detection
+    delay), so the ring must cover that lag or the pipeline raises the
+    reference's overflow error — ring_revs is sized accordingly."""
     import dataclasses
 
     firings, poses = make_stream(seed=11, num_frames=num_frames)

@@ -53,6 +53,10 @@ def test_scan_runner_matches_streaming():
     assert not bool(state.overflow)
     assert int(state.first_unpublished) == pipe._h_first_unpublished
     assert int(state.cluster_counter) == pipe._h_cluster_counter
-    np.testing.assert_array_equal(
-        np.asarray(state.cluster_id), np.asarray(pipe.state.cluster_id)
-    )
+
+    def cell_ids(s):
+        slots = np.asarray(s.slot)
+        res = np.asarray(s.slot_parent)[np.maximum(slots, 0)]
+        return np.where(slots >= 0, np.asarray(s.slot_cid)[res], 0)
+
+    np.testing.assert_array_equal(cell_ids(state), cell_ids(pipe.state))
