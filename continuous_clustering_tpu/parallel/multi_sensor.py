@@ -10,8 +10,8 @@ completion) is vmapped over the sensor axis and partitioned by GSPMD.
 from __future__ import annotations
 
 from functools import partial
+
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -23,6 +23,8 @@ from .mesh import state_sharding
 
 
 def stacked_init(config: Config, num_rows: int, n_sensors: int) -> RingState:
+    import jax.numpy as jnp
+
     one = init_state(config, num_rows)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_sensors,) + x.shape).copy(), one
@@ -31,37 +33,40 @@ def stacked_init(config: Config, num_rows: int, n_sensors: int) -> RingState:
 
 def make_sharded_step(config: Config, mesh: Mesh, batch_cols: int):
     """Jitted multi-sensor step: (stacked_state, stacked_batch, stacked_calib)
-    -> (stacked_state, stacked_info), partitioned over the mesh."""
+    -> (stacked_state, stacked_info), partitioned over the mesh.
+
+    Shardings are passed explicitly to ``jax.jit`` — placement never falls
+    back to replication if an input arrives uncommitted.
+    """
     step = partial(pipeline_step, config, batch_cols=batch_cols)
     vstep = jax.vmap(step)
 
     state_shard = state_sharding(mesh, stacked=True)
 
-    def in_shardings(tree):
-        return jax.tree_util.tree_map(lambda x: state_shard(x), tree)
-
-    dp_only = NamedSharding(mesh, P("dp"))
-
     def batch_shard(leaf):
         return NamedSharding(mesh, P("dp", *([None] * (np.ndim(leaf) - 1))))
 
-    jit_step = jax.jit(
-        vstep,
-        donate_argnums=(0,),
-    )
+    def in_batch_tree(tree):
+        return jax.tree_util.tree_map(batch_shard, tree)
+
+    jit_step = None
 
     def run(state: RingState, batch: FiringBatch, calib: EgoCalibration):
-        state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, state_shard(x))
-            if not _is_committed(x) else x,
-            state,
-        )
-        batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, batch_shard(x)), batch)
-        calib = jax.tree_util.tree_map(lambda x: jax.device_put(x, batch_shard(x)), calib)
+        nonlocal jit_step
+        if jit_step is None:
+            jit_step = jax.jit(
+                vstep,
+                in_shardings=(
+                    jax.tree_util.tree_map(state_shard, state),
+                    in_batch_tree(batch),
+                    in_batch_tree(calib),
+                ),
+                out_shardings=(
+                    jax.tree_util.tree_map(state_shard, state),
+                    None,
+                ),
+                donate_argnums=(0,),
+            )
         return jit_step(state, batch, calib)
 
     return run
-
-
-def _is_committed(x) -> bool:
-    return isinstance(x, jax.Array) and getattr(x, "committed", False)

@@ -1,0 +1,159 @@
+"""p50/p95 cluster-publish latency: measured step times + decomposed model.
+
+The north star is <10 ms p50 cluster-publish latency (BASELINE.json); the
+reference's headline is ~5 ms (/root/reference/README.md:11).  Publish
+latency for a cluster = time from its *finishing column* arriving at the
+sensor to the cluster callback firing:
+
+  batching delay   — the finish condition is evaluated against the newest
+                     column of a batch, so a cluster finishing at column c
+                     waits for the rest of c's batch: (B-1 - c%B) * tau
+                     (tau = column period; uniform c -> mean (B-1)/2 * tau)
+  device step      — the fused step for that batch (measured here on the
+                     real chip, scan-resident, nth=1 latency configuration)
+  host emit        — get_columns over the publish range + group/split + the
+                     callback (measured here on the host)
+
+This is a *decomposed* measurement: per-batch standalone dispatch through
+the current TPU tunnel hits a ~1.7 s dispatch anomaly
+(docs/ROUND1_NOTES.md) that a PCIe-attached host does not have, so the
+streaming loop itself cannot be timed end-to-end here.  Each component is
+measured for real; the composition is arithmetic.  Writes LATENCY_r2.json.
+
+Usage: python scripts/latency_model.py [--batch 64] [--rows 64] [--cols 2200]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, os, sys, time
+import numpy as np
+
+sys.path.insert(0, os.environ["CCT_REPO"])
+from continuous_clustering_tpu.tools import bench_setup
+from continuous_clustering_tpu.utils.platform import ensure_backend
+
+bench_setup.enable_compile_cache()
+ensure_backend()
+
+import jax
+import jax.numpy as jnp
+from continuous_clustering_tpu.models.throughput import make_block_scan_runner
+
+num_rows = int(os.environ["CCT_LAT_ROWS"])
+num_cols = int(os.environ["CCT_LAT_COLS"])
+batch = int(os.environ["CCT_LAT_BATCH"])
+
+# latency configuration: nth=1 (completion every batch; cheap since the
+# component table made completion K-sized), small batch
+cfg, pipe = bench_setup.make_bench_pipe(
+    num_rows=num_rows, num_cols=num_cols, batch=batch, nth=1, ring_revs=4)
+firings, n_points = bench_setup.make_bench_scene(num_rows, num_cols)
+revs, hsg = bench_setup.prepare_rev_blocks(pipe, firings, 2, num_cols)
+steps_per_rev = int(revs[0][0].gcol0.shape[0])
+
+runner = make_block_scan_runner(cfg, pipe._batch_B)
+state = jax.tree_util.tree_map(jnp.asarray,
+                               jax.tree_util.tree_map(np.asarray, pipe.state))
+state, _ = runner(state, revs[0][0], revs[0][1], hsg)
+int(np.asarray(state.first_unpublished))
+t0 = time.perf_counter()
+for k in (1, 2):
+    state, infos = runner(state, revs[k][0], revs[k][1], hsg)
+int(np.asarray(state.first_unpublished))
+t1 = time.perf_counter()
+step_ms = (t1 - t0) * 1000.0 / (2 * steps_per_rev)
+
+# host emit cost: get_columns over a typical publish range + grouping
+pipe._state = state
+emit = []
+def cb(cloud, stamp):
+    emit.append(len(cloud))
+pipe.set_finished_cluster_callback(cb)
+fu = int(np.asarray(state.first_unpublished))
+t0 = time.perf_counter()
+N = 20
+for _ in range(N):
+    pipe._emit_clusters(max(0, fu - batch), fu, 0, 10**9)
+t1 = time.perf_counter()
+emit_ms = (t1 - t0) * 1000.0 / N
+
+print(json.dumps({
+    "step_ms": round(step_ms, 3),
+    "emit_ms": round(emit_ms, 3),
+    "steps_per_rev": steps_per_rev,
+    "clusters_emitted_per_probe": len(emit) // max(N, 1),
+}), flush=True)
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--rows", type=int, default=64)
+    ap.add_argument("--cols", type=int, default=2200)
+    ap.add_argument("--rev-hz", type=float, default=10.0,
+                    help="sensor revolutions per second (KITTI HDL-64E: 10)")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(
+        CCT_REPO=repo,
+        CCT_LAT_ROWS=str(args.rows),
+        CCT_LAT_COLS=str(args.cols),
+        CCT_LAT_BATCH=str(args.batch),
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=1500,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("latency child failed")
+    meas = json.loads(line[-1])
+
+    tau_ms = 1000.0 / (args.rev_hz * args.cols)   # column period
+    B = args.batch
+    batching_p50 = (B - 1) / 2.0 * tau_ms
+    batching_p95 = 0.95 * (B - 1) * tau_ms
+    p50 = batching_p50 + meas["step_ms"] + meas["emit_ms"]
+    p95 = batching_p95 + meas["step_ms"] + meas["emit_ms"]
+
+    out = {
+        "metric": "p50_cluster_publish_latency_ms",
+        "value": round(p50, 3),
+        "p95_ms": round(p95, 3),
+        "target_ms": 10.0,
+        "reference_headline_ms": 5.0,
+        "config": {
+            "rows": args.rows, "cols": args.cols, "batch": B,
+            "nth": 1, "rev_hz": args.rev_hz,
+        },
+        "components_ms": {
+            "batching_p50": round(batching_p50, 3),
+            "device_step_measured": meas["step_ms"],
+            "host_emit_measured": meas["emit_ms"],
+        },
+        "method": (
+            "decomposed: batching delay analytic; device step measured "
+            "scan-resident on the real chip at the latency config (B={}, "
+            "nth=1); host emit measured with real get_columns + grouping. "
+            "Composition is additive because the three phases are strictly "
+            "sequential per batch in single-threaded mode.".format(B)
+        ),
+    }
+    path = os.path.join(repo, "LATENCY_r2.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

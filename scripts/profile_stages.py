@@ -34,10 +34,12 @@ num_rows, num_cols = 64, 2200
 batch = int(os.environ.get("CCT_PROF_BATCH", "256"))
 nth = int(os.environ.get("CCT_PROF_NTH", "1024"))
 n_rev = int(os.environ.get("CCT_PROF_REVS", "2"))
+ring = int(os.environ.get("CCT_PROF_RING", "10"))
 cuts = json.loads(os.environ["CCT_PROF_CUTS"])
 
 cfg, pipe = bench_setup.make_bench_pipe(
-    num_rows=num_rows, num_cols=num_cols, batch=batch, nth=nth)
+    num_rows=num_rows, num_cols=num_cols, batch=batch, nth=nth,
+    ring_revs=ring)
 firings, n_points = bench_setup.make_bench_scene(num_rows, num_cols)
 revs, hsg = bench_setup.prepare_rev_blocks(pipe, firings, n_rev, num_cols)
 steps_per_rev = revs[0][0].gcol0.shape[0]
@@ -85,6 +87,8 @@ def main():
             env["CCT_PROF_BATCH"] = args[i + 1]
         if a == "--nth":
             env["CCT_PROF_NTH"] = args[i + 1]
+        if a == "--ring":
+            env["CCT_PROF_RING"] = args[i + 1]
     t0 = time.time()
     p = subprocess.Popen(
         [sys.executable, "-c", CHILD], env=env, cwd=repo,
