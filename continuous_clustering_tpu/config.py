@@ -87,6 +87,11 @@ class ClusteringConfig:
     ignore_points_with_too_big_inclination_angle_diff: bool = True
     use_last_point_for_cluster_stamp: bool = False
     cluster_point_trees_every_nth_column: int = 1
+    # Populate the per-point profiling counters (number_of_visited_neighbors,
+    # reference …cpp:725, plus the CC edge degree standing in for
+    # num_child_points) in the ring so debug clouds carry them.  Off by
+    # default: the reconstruction costs a few extra vector ops per batch.
+    record_neighbor_stats: bool = False
     # TPU-native knob (no reference analog): capacity of the device-resident
     # component table.  Components (point trees in the reference) live from
     # first association until their ring columns are cleared one rotation

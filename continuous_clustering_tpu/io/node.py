@@ -100,6 +100,7 @@ class ClusteringNode:
 
         if self.publish_firing:
             self.publish_firing(firing)
+        self.clustering._sensor_depth = self.sensor_input.pending_packets()
         self.tf_sync.add_message(stamp, firing)
 
     def _on_firing_with_tf(self, firing, pose) -> None:
@@ -133,4 +134,5 @@ class ClusteringNode:
         self.clustering.set_configuration(config)
 
     def flush(self) -> None:
+        self.sensor_input.drain()
         self.clustering.flush()

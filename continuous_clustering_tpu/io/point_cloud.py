@@ -73,3 +73,22 @@ def empty_cloud(n: int, stage: ProcessingStage = ProcessingStage.CONTINUOUS_CLUS
 
 def combine_u64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def firing_to_structured(firing: dict) -> np.ndarray:
+    """Convert a sensor firing dict to a RAW_POINT-stage structured cloud
+    (the reference publishes raw firings this way, ros_utils.cpp:114-122 /
+    continuous_clustering_node.cpp raw_firings topic)."""
+    xyz = np.asarray(firing["xyz"], np.float32).reshape(-1, 3)
+    n = len(xyz)
+    out = empty_cloud(n, ProcessingStage.RAW_POINT)
+    out["x"], out["y"], out["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    out["firing_index"] = int(firing.get("firing_index", 0))
+    if "intensity" in firing:
+        out["intensity"] = np.asarray(firing["intensity"], np.uint8).reshape(-1)
+    stamp = np.asarray(firing.get("stamp", np.zeros(n, np.uint64)), np.uint64)
+    out["time_sec"] = (stamp // np.uint64(1_000_000_000)).astype(np.uint32)
+    out["time_nsec"] = (stamp % np.uint64(1_000_000_000)).astype(np.uint32)
+    if "uidx" in firing:
+        out["globally_unique_point_index"] = np.asarray(firing["uidx"], np.uint64)
+    return out

@@ -98,6 +98,16 @@ class RosBridge:
             f"{ns}/continuous_clusters", PointCloud2, queue_size=1000
         )
 
+        from .point_cloud import firing_to_structured
+
+        def _publish_firing(firing):
+            cloud = firing_to_structured(firing)
+            stamp = int(np.max(firing["stamp"])) if len(firing["stamp"]) else 0
+            self.pub_firings.publish(
+                structured_to_pointcloud2(cloud, odom_frame, stamp)
+            )
+
+        node.publish_firing = _publish_firing
         node.publish_ground_columns = lambda cloud: self.pub_ground.publish(
             structured_to_pointcloud2(cloud, odom_frame, rospy.Time.now().to_nsec())
         )

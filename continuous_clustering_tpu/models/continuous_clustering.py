@@ -67,6 +67,9 @@ class ContinuousClustering:
         # observability (reference recordJobQueueWorkload analog)
         self.stats = StageTimer()
         self.workload = WorkloadRecorder()
+        # decode-queue depth, fed by the owning node when a sensor decode
+        # offload is active (ClusteringNode._on_new_firing)
+        self._sensor_depth = 0
 
     # ------------------------------------------------------------------ API
     def set_configuration(self, config: Config) -> None:
@@ -304,7 +307,17 @@ class ContinuousClustering:
         self._fifo, self._fifo_poses = [], []
         calib = self._make_calib()
         self._last_pose = poses[-1]
-        self.workload.record(fifo=len(firings), device=len(self._pending_infos))
+        # queue-depth sampling across all four stages (reference
+        # recordJobQueueWorkload, …cpp:1147-1159): sensor = packets awaiting
+        # decode (set by the node when a decode offload runs), fifo =
+        # buffered firings, device = dispatched-but-unconsumed steps,
+        # publish = finished-but-unpublished column backlog
+        self.workload.record(
+            sensor=self._sensor_depth,
+            fifo=len(firings),
+            device=len(self._pending_infos),
+            publish=max(0, self._h_first_unfinished - self._h_first_unpublished),
+        )
         if self._host_ins is not None:
             with self.stats.track("device_step"):
                 self._process_batch_host_insertion(firings, poses)
@@ -483,6 +496,13 @@ class ContinuousClustering:
             "finished_at_continuous_azimuth_angle",
             take(s.finish_az).astype(np.float64) + origin_az,
         )
+        # profiling counters (populated when clustering.record_neighbor_stats;
+        # reference …cpp:725 / ros_utils.cpp:291-295).  num_child_points has
+        # no direct analog in the CC formulation; the tested-edge degree
+        # stands in.
+        nbr = take(s.nbr_stats)
+        put("number_of_visited_neighbors", (nbr & 0xFFFF).astype(np.uint32))
+        put("num_child_points", (nbr >> 16).astype(np.uint16))
         # per-cell cluster ids are resolved through the component-slot table
         # (cells store one slot index; ids/roots live at K-sized tables —
         # slots are freed only after their cells are cleared, so any cell

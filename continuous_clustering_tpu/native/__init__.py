@@ -71,3 +71,13 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.cct_ouster_decode.argtypes = [c.c_void_p, c.c_void_p, c.c_int64, c.c_uint64]
     lib.cct_ouster_poll.restype = c.c_int
     lib.cct_ouster_poll.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p]
+
+    lib.cct_offload_create.restype = c.c_void_p
+    lib.cct_offload_create.argtypes = [c.c_void_p, c.c_int, c.c_int]
+    lib.cct_offload_destroy.argtypes = [c.c_void_p]
+    lib.cct_offload_enqueue.argtypes = [c.c_void_p, c.c_void_p, c.c_int64, c.c_uint64]
+    lib.cct_offload_pending.restype = c.c_int64
+    lib.cct_offload_pending.argtypes = [c.c_void_p]
+    lib.cct_offload_drain.argtypes = [c.c_void_p]
+    lib.cct_offload_poll.restype = c.c_int
+    lib.cct_offload_poll.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p]

@@ -208,7 +208,47 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     bits = jnp.stack([w0, w1], axis=1)  # (ND, 2, R, B)
-    return bits, active_w, wcols, lcols, mad, active_b, slotw
+
+    nbr_stats = None
+    if cl.record_neighbor_stats:
+        # reconstruct the reference's visited-cell counter (…cpp:725): a
+        # cell is visited iff every cell strictly earlier in its walk passed
+        # the inclination test (the breaking cell itself is counted) and the
+        # row is in bounds; the wedge spans dc <= wp and columns >= the
+        # publish frontier (…cpp:762).  Exact for
+        # stop_after_association_enabled=false (the stop heuristic visits a
+        # data-dependent subset the vectorized form does not model).
+        def exc_cumprod(seq):  # exclusive prefix products along axis 1
+            c = jnp.cumprod(seq.astype(jnp.int32), axis=1)
+            return jnp.concatenate(
+                [jnp.ones_like(c[:, :1]), c[:, :-1]], axis=1
+            )
+
+        up_seq = incl_ok[:, V - 1 :: -1]   # dr=-1..-V in walk order
+        dn_seq = incl_ok[:, V + 1 :]       # dr=+1..+V
+        iu_exc = exc_cumprod(up_seq)       # (ND, V, R, B)
+        id_exc = exc_cumprod(dn_seq)
+        r_i2 = jnp.arange(R, dtype=jnp.int32)[None, None, :, None]
+        dshift = jnp.arange(1, V + 1, dtype=jnp.int32)[None, :, None, None]
+        up_inb = (r_i2 - dshift) >= 0
+        dn_inb = (r_i2 + dshift) <= R - 1
+        s_up = jnp.sum(jnp.where(up_inb, iu_exc, 0), axis=1)   # (ND, R, B)
+        s_dn = jnp.sum(jnp.where(dn_inb, id_exc, 0), axis=1)
+        is_dc0_b = (dc_a == 0)[:, 0, :, :]                      # (ND, 1, 1)
+        per_dc = jnp.where(
+            is_dc0_b, s_up, 1 + ok0.astype(jnp.int32) * s_up + s_dn
+        )
+        gcol_b = wcols[None, H:]                                # (1, B)
+        dc_col = dc_a[:, 0]                                     # (ND, 1, 1)
+        fu0 = jnp.maximum(state.first_unpublished, 0)
+        gate = (dc_col <= wp[None]) & (gcol_b[None] - dc_col >= fu0)
+        visited = jnp.sum(jnp.where(gate, per_dc, 0), axis=0)   # (R, B)
+        degree = jnp.sum(edge.astype(jnp.int32), axis=(0, 1))
+        nbr_stats = jnp.where(
+            active_b, visited + (degree << 16), 0
+        ).astype(jnp.int32)
+
+    return bits, active_w, wcols, lcols, mad, active_b, slotw, nbr_stats
 
 
 def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
@@ -487,7 +527,7 @@ def associate_and_complete(
     K = cl.max_active_components
     idxK = jnp.arange(K, dtype=jnp.int32)
 
-    bits, active_w, awcols, alcols, mad, active_b, slotw = _edge_bits(
+    bits, active_w, awcols, alcols, mad, active_b, slotw, nbr_stats = _edge_bits(
         config, state, inputs, B
     )
     WCOL = H + B
@@ -672,6 +712,12 @@ def associate_and_complete(
         state.finish_az, lc0b,
         jnp.where(wmask & active_b, finish_b, cur_fin),
     )
+    nbr_ring = state.nbr_stats
+    if nbr_stats is not None:
+        cur_nbr = ring_read(state.nbr_stats, lc0b, B)
+        nbr_ring = ring_write(
+            state.nbr_stats, lc0b, jnp.where(wmask, nbr_stats, cur_nbr)
+        )
 
     # ---- fold aggregates: demoted canonicals + batch contributions --------
     demote = state.slot_valid & (slot_parent != idxK)
@@ -803,6 +849,7 @@ def associate_and_complete(
         state,
         slot=slot_ring,
         finish_az=fin_ring,
+        nbr_stats=nbr_ring,
         slot_parent=sp_o,
         slot_live=live_o,
         slot_valid=valid_o,

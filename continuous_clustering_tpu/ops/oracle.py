@@ -71,6 +71,7 @@ class OracleCell:
     debug_label: int = DBG_WHITE
 
     is_ignored: bool = False
+    number_of_visited_neighbors: int = 0
     finished_at_continuous_azimuth_angle: float = 0.0
     child_points: List[Tuple[int, int]] = field(default_factory=list)
     associated_trees: Set[Tuple[int, int]] = field(default_factory=set)
@@ -481,6 +482,9 @@ class OracleContinuousClustering:
                 )
                 while 0 <= other_row < self.num_rows and steps_v <= cl.max_steps_in_column:
                     other = self.cell(other_row, other_col)
+                    # profiling counter (…cpp:725): counts every visited
+                    # cell, including the one that breaks the walk
+                    cell.number_of_visited_neighbors += 1
                     if abs(
                         F32(other.inclination_angle) - F32(cell.inclination_angle)
                     ) > max_angle_diff:

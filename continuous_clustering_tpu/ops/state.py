@@ -71,6 +71,11 @@ class RingState:
     # and completion never run irregular ops at ring/window scale)
     slot: jax.Array           # i32 component-table index, -1 = none
     finish_az: jax.Array      # f32: cont_az + max_angle_diff of this point
+    # packed profiling counters (populated when
+    # clustering.record_neighbor_stats): low 16 bits = visited-neighbor
+    # count (reference …cpp:725), high 16 = tested-edge degree (the CC
+    # analog of the reference's tree-child count)
+    nbr_stats: jax.Array      # i32
 
     # component table, shape (K,) = (clustering.max_active_components,)
     slot_parent: jax.Array    # i32 union-find parent (kept path-compressed)
@@ -139,7 +144,7 @@ def init_state(config: Config, num_rows: int) -> RingState:
         intensity=i32(0), firing_index=i32(0),
         ground_label=i32(0), debug_label=i32(0),
         is_ignored=jnp.zeros(shape, dtype=bool),
-        slot=i32(-1), finish_az=f32(0.0),
+        slot=i32(-1), finish_az=f32(0.0), nbr_stats=i32(0),
         slot_parent=jnp.arange(K, dtype=jnp.int32),
         slot_live=jnp.zeros((K,), bool),
         slot_valid=jnp.zeros((K,), bool),
@@ -173,7 +178,7 @@ CLEAR_VALUES = {
     "uidx_lo": 0xFFFFFFFF, "uidx_hi": 0xFFFFFFFF,
     "intensity": 0, "firing_index": 0,
     "ground_label": 0, "debug_label": 0, "is_ignored": False,
-    "slot": -1, "finish_az": 0.0,
+    "slot": -1, "finish_az": 0.0, "nbr_stats": 0,
 }
 
 CELL_FIELDS = tuple(CLEAR_VALUES.keys())

@@ -20,7 +20,7 @@ ENCODER_TICKS_PER_REV = 90112
 
 
 class OusterInput(SensorInput):
-    def __init__(self, sensor_info, use_native: bool = True):
+    def __init__(self, sensor_info, use_native: bool = True, decode_threads: int = 0):
         if isinstance(sensor_info, (str, Path)):
             sensor_info = json.loads(Path(sensor_info).read_text())
         self.info = sensor_info
@@ -38,6 +38,7 @@ class OusterInput(SensorInput):
         super().__init__(self.pixels_per_column)
 
         self._native = None
+        self._offload = None
         lib = native.load() if use_native else None
         if lib is not None:
             self._lib = lib
@@ -49,14 +50,26 @@ class OusterInput(SensorInput):
                 self.altitude.ctypes.data_as(ctypes.c_void_p),
                 self.azimuth.ctypes.data_as(ctypes.c_void_p),
             )
+            if decode_threads > 0:
+                # decode-thread offload (reference ros_sensor_input.hpp:19-60)
+                self._offload = lib.cct_offload_create(self._native, 1, 1)
 
     def __del__(self):
+        if getattr(self, "_offload", None):
+            self._lib.cct_offload_destroy(self._offload)
+            self._offload = None
         if getattr(self, "_native", None):
             self._lib.cct_ouster_destroy(self._native)
             self._native = None
 
     def on_packet(self, packet: bytes, host_stamp_ns: int) -> None:
-        if self._native:
+        if self._offload:
+            buf = (ctypes.c_char * len(packet)).from_buffer_copy(packet)
+            self._lib.cct_offload_enqueue(
+                self._offload, buf, len(packet), ctypes.c_uint64(host_stamp_ns)
+            )
+            self._poll_native()
+        elif self._native:
             buf = (ctypes.c_char * len(packet)).from_buffer_copy(packet)
             self._lib.cct_ouster_decode(
                 self._native, buf, len(packet), ctypes.c_uint64(host_stamp_ns)
@@ -65,21 +78,44 @@ class OusterInput(SensorInput):
         else:
             self._decode_python(packet, host_stamp_ns)
 
+    def pending_packets(self) -> int:
+        if self._offload:
+            return int(self._lib.cct_offload_pending(self._offload))
+        return 0
+
+    def drain(self) -> None:
+        if self._offload:
+            self._lib.cct_offload_drain(self._offload)
+            self._poll_native()
+
     def _poll_native(self):
         R = self.pixels_per_column
         max_f = self.columns_per_packet * 2
-        xyz = np.empty((max_f, R, 3), np.float32)
-        inten = np.empty((max_f, R), np.uint8)
-        stamps = np.empty((max_f, R), np.uint64)
-        n = self._lib.cct_ouster_poll(
-            self._native,
-            max_f,
-            xyz.ctypes.data_as(ctypes.c_void_p),
-            inten.ctypes.data_as(ctypes.c_void_p),
-            stamps.ctypes.data_as(ctypes.c_void_p),
-        )
-        for i in range(n):
-            self._emit(xyz[i], stamps[i], inten[i])
+        while True:
+            # fresh buffers every round: _emit hands out views into them
+            xyz = np.empty((max_f, R, 3), np.float32)
+            inten = np.empty((max_f, R), np.uint8)
+            stamps = np.empty((max_f, R), np.uint64)
+            if self._offload:
+                n = self._lib.cct_offload_poll(
+                    self._offload,
+                    max_f,
+                    xyz.ctypes.data_as(ctypes.c_void_p),
+                    inten.ctypes.data_as(ctypes.c_void_p),
+                    stamps.ctypes.data_as(ctypes.c_void_p),
+                )
+            else:
+                n = self._lib.cct_ouster_poll(
+                    self._native,
+                    max_f,
+                    xyz.ctypes.data_as(ctypes.c_void_p),
+                    inten.ctypes.data_as(ctypes.c_void_p),
+                    stamps.ctypes.data_as(ctypes.c_void_p),
+                )
+            for i in range(n):
+                self._emit(xyz[i], stamps[i], inten[i])
+            if n < max_f:
+                break
 
     def _decode_python(self, packet: bytes, host_stamp_ns: int) -> None:
         R = self.pixels_per_column

@@ -27,6 +27,14 @@ class SensorInput:
     def data_count(self) -> int:
         return self._pending
 
+    def pending_packets(self) -> int:
+        """Raw packets awaiting decode (nonzero only with a decode-thread
+        offload, reference ros_sensor_input.hpp:19-60)."""
+        return 0
+
+    def drain(self) -> None:
+        """Block until any decode offload has consumed its queue."""
+
     def reset(self) -> None:
         self.firing_index = 0
         self._pending = 0

@@ -31,6 +31,7 @@ class VelodyneInput(SensorInput):
         distance_resolution: float = 0.002,
         firing_cycle_ns: float = 55296.0,
         use_native: bool = True,
+        decode_threads: int = 0,
     ):
         super().__init__(num_lasers)
         if vert_angles_deg is None:
@@ -52,6 +53,7 @@ class VelodyneInput(SensorInput):
         self.firing_cycle_ns = firing_cycle_ns
 
         self._native = None
+        self._offload = None
         lib = native.load() if use_native else None
         if lib is not None:
             self._lib = lib
@@ -63,6 +65,11 @@ class VelodyneInput(SensorInput):
                 self.rings.ctypes.data_as(ctypes.c_void_p),
                 ctypes.c_double(firing_cycle_ns),
             )
+            if decode_threads > 0:
+                # decode-thread offload (reference ros_sensor_input.hpp:19-60):
+                # on_packet only enqueues; a native worker decodes packet n
+                # while the caller dispatches the firings of packet n-1
+                self._offload = lib.cct_offload_create(self._native, 0, 1)
         # fallback assembly state
         self._slot_xyz = np.full((num_lasers, 3), np.nan, np.float32)
         self._slot_int = np.zeros(num_lasers, np.uint8)
@@ -70,13 +77,22 @@ class VelodyneInput(SensorInput):
         self._slot_filled = np.zeros(num_lasers, bool)
 
     def __del__(self):
+        if getattr(self, "_offload", None):
+            self._lib.cct_offload_destroy(self._offload)
+            self._offload = None
         if getattr(self, "_native", None):
             self._lib.cct_velodyne_destroy(self._native)
             self._native = None
 
     # ------------------------------------------------------------- decode
     def on_packet(self, packet: bytes, stamp_ns: int) -> None:
-        if self._native:
+        if self._offload:
+            buf = (ctypes.c_char * len(packet)).from_buffer_copy(packet)
+            self._lib.cct_offload_enqueue(
+                self._offload, buf, len(packet), ctypes.c_uint64(stamp_ns)
+            )
+            self._poll_native()
+        elif self._native:
             buf = (ctypes.c_char * len(packet)).from_buffer_copy(packet)
             self._lib.cct_velodyne_decode(
                 self._native, buf, len(packet), ctypes.c_uint64(stamp_ns)
@@ -85,21 +101,48 @@ class VelodyneInput(SensorInput):
         else:
             self._decode_python(packet, stamp_ns)
 
+    def pending_packets(self) -> int:
+        """Packets enqueued to the decode thread but not yet decoded
+        (queue-depth metric, reference workload sampling)."""
+        if self._offload:
+            return int(self._lib.cct_offload_pending(self._offload))
+        return 0
+
+    def drain(self) -> None:
+        """Block until the decode thread has consumed every enqueued packet,
+        then emit the resulting firings (deterministic flush)."""
+        if self._offload:
+            self._lib.cct_offload_drain(self._offload)
+            self._poll_native()
+
     def _poll_native(self):
         R = self.num_lasers
         max_f = 64
-        xyz = np.empty((max_f, R, 3), np.float32)
-        inten = np.empty((max_f, R), np.uint8)
-        stamps = np.empty((max_f, R), np.uint64)
-        n = self._lib.cct_velodyne_poll(
-            self._native,
-            max_f,
-            xyz.ctypes.data_as(ctypes.c_void_p),
-            inten.ctypes.data_as(ctypes.c_void_p),
-            stamps.ctypes.data_as(ctypes.c_void_p),
-        )
-        for i in range(n):
-            self._emit(xyz[i], stamps[i], inten[i])
+        while True:
+            # fresh buffers every round: _emit hands out views into them
+            xyz = np.empty((max_f, R, 3), np.float32)
+            inten = np.empty((max_f, R), np.uint8)
+            stamps = np.empty((max_f, R), np.uint64)
+            if self._offload:
+                n = self._lib.cct_offload_poll(
+                    self._offload,
+                    max_f,
+                    xyz.ctypes.data_as(ctypes.c_void_p),
+                    inten.ctypes.data_as(ctypes.c_void_p),
+                    stamps.ctypes.data_as(ctypes.c_void_p),
+                )
+            else:
+                n = self._lib.cct_velodyne_poll(
+                    self._native,
+                    max_f,
+                    xyz.ctypes.data_as(ctypes.c_void_p),
+                    inten.ctypes.data_as(ctypes.c_void_p),
+                    stamps.ctypes.data_as(ctypes.c_void_p),
+                )
+            for i in range(n):
+                self._emit(xyz[i], stamps[i], inten[i])
+            if n < max_f:
+                break
 
     # -------------------------------------------------- pure NumPy fallback
     def _decode_python(self, packet: bytes, stamp_ns: int) -> None:

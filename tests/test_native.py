@@ -237,3 +237,54 @@ def test_velodyne_native_matches_python():
         # cosf/sinf vs double trig: f32-level agreement
         np.testing.assert_allclose(a["xyz"], b["xyz"], rtol=1e-5, atol=1e-5, equal_nan=True)
         np.testing.assert_array_equal(a["intensity"], b["intensity"])
+
+
+def test_velodyne_decode_offload_matches_inline():
+    """The decode-thread offload (native/src/decode_offload.cpp, reference
+    ros_sensor_input.hpp:19-60) must emit exactly the inline path's firings,
+    in order, after drain()."""
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    pkts = [_vlp16_packet(a, dist_m=5 + a / 50) for a in np.linspace(0, 359, 40)]
+    results = {}
+    for threads in (0, 1):
+        dec = VelodyneInput(num_lasers=16, decode_threads=threads)
+        if threads and dec._offload is None:
+            pytest.skip("native library unavailable")
+        out = []
+        dec.add_on_new_firing_callback(lambda f: out.append(f))
+        for i, p in enumerate(pkts):
+            dec.on_packet(p, stamp_ns=i * 10**6)
+        dec.drain()
+        assert dec.pending_packets() == 0
+        results[threads] = out
+    assert len(results[1]) == len(results[0]) == 40 * 24
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_array_equal(a["xyz"], b["xyz"], err_msg="offload xyz")
+        np.testing.assert_array_equal(a["stamp"], b["stamp"])
+        np.testing.assert_array_equal(a["intensity"], b["intensity"])
+        assert a["firing_index"] == b["firing_index"]
+
+
+def test_ouster_decode_offload_matches_inline():
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    pkts = [_ouster_packet(info, 5.0 + k) for k in range(16)]
+    results = {}
+    for threads in (0, 1):
+        dec = OusterInput(info, decode_threads=threads)
+        if threads and dec._offload is None:
+            pytest.skip("native library unavailable")
+        out = []
+        dec.add_on_new_firing_callback(lambda f: out.append(f))
+        for i, p in enumerate(pkts):
+            dec.on_packet(p, host_stamp_ns=i * 10**6)
+        dec.drain()
+        results[threads] = out
+    assert len(results[1]) == len(results[0]) > 0
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_array_equal(a["xyz"], b["xyz"])
+        np.testing.assert_array_equal(a["stamp"], b["stamp"])

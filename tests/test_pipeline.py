@@ -12,6 +12,7 @@ from continuous_clustering_tpu.evaluation.synthetic import (
     make_scene,
     raycast_frame,
 )
+from continuous_clustering_tpu.io.point_cloud import ProcessingStage
 from continuous_clustering_tpu.models.continuous_clustering import ContinuousClustering
 from continuous_clustering_tpu.ops.oracle import OracleContinuousClustering
 
@@ -163,3 +164,166 @@ def test_pipeline_batch_size_invariance():
     common = set(l1) & set(l2)
     agreement = partition_agreement(l1, l2)
     assert agreement >= 0.995, f"batch-size agreement {agreement}"
+
+
+def test_visited_neighbor_counts_match_oracle():
+    """number_of_visited_neighbors (reference ...cpp:725) reconstructed by
+    the vectorized wedge walk must equal the oracle's per-cell walk counter.
+
+    Exactness caveat: the reference clips the wedge at its *per-column*
+    publish frontier (...cpp:762,782); our batch-granularity pipeline clips
+    at the batch-start frontier, which lags within a batch.  Both counters
+    faithfully report what their own association tested; they are equal
+    whenever the wedge does not touch the frontier, which the test selects
+    for (and asserts the clipped remainder is a small minority)."""
+    import dataclasses
+    import math
+
+    from continuous_clustering_tpu.ops.oracle import OracleContinuousClustering
+
+    scene = make_scene(num_boxes=6, seed=5, spread=18.0)
+    firings = []
+    for f in range(2):
+        xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS, seed=5 + f)
+        firings += frame_to_firings(xyz, frame_index=f)
+    poses = [np.eye(4) for _ in firings]
+
+    cfg = small_config(stop_after_association=False)
+    cfg = cfg.replace(
+        clustering=dataclasses.replace(cfg.clustering, record_neighbor_stats=True)
+    )
+
+    class TracingOracle(OracleContinuousClustering):
+        """Records the publish frontier at each column's association."""
+
+        fu_at_assoc = {}
+
+        def _associate_column(self, gcol):
+            self.fu_at_assoc[gcol] = self.first_unpublished
+            return super()._associate_column(gcol)
+
+    oracle = TracingOracle(cfg, NUM_ROWS)
+    oracle.set_transform_robot_from_sensor(np.eye(4))
+    ref = {}
+    unclipped = {}
+    az_width = 2.0 * math.pi / NUM_COLS
+    H = cfg.clustering.max_steps_in_row
+
+    def on_col(a, b, ground_only):
+        if ground_only:
+            return
+        for g in range(a, b + 1):
+            lc = g % cfg.ring_buffer_max_columns
+            for r in range(NUM_ROWS):
+                c = oracle.cells[lc][r]
+                if c.globally_unique_point_index != -1 and not c.is_ignored:
+                    k = c.globally_unique_point_index
+                    ref[k] = c.number_of_visited_neighbors
+                    mad = math.asin(
+                        cfg.clustering.max_distance / float(c.distance)
+                    )
+                    wp = min(math.ceil(mad / az_width), H)
+                    # the oracle's frontier is >= the pipeline's batch-start
+                    # frontier; if even the oracle's wedge is clear of it,
+                    # neither side clipped... except the pipeline's frontier
+                    # can only be lower, which also does not clip
+                    unclipped[k] = (
+                        c.global_column_index - wp
+                        >= oracle.fu_at_assoc.get(c.global_column_index, 0)
+                    )
+
+    oracle.finished_column_callback = on_col
+    for f, p in zip(firings, poses):
+        oracle.add_firing(f, p)
+
+    pipe = ContinuousClustering(cfg, firing_batch_size=64)
+    pipe.reset(NUM_ROWS)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    ours = {}
+
+    def on_col_p(a, b, ground_only):
+        if ground_only:
+            return
+        cloud = pipe.get_columns(a, b, ProcessingStage.CONTINUOUS_CLUSTERING)
+        for p_ in cloud:
+            if p_["globally_unique_point_index"] != np.uint64(2**64 - 1) and not p_[
+                "ignore_for_clustering"
+            ]:
+                ours[int(p_["globally_unique_point_index"])] = int(
+                    p_["number_of_visited_neighbors"]
+                )
+
+    pipe.set_finished_column_callback(on_col_p)
+    for f, p in zip(firings, poses):
+        pipe.add_firing(f, p)
+    pipe.flush()
+
+    common = set(ref) & set(ours)
+    assert len(common) > 1000
+    exact = [k for k in common if unclipped[k]]
+    assert len(exact) > 0.7 * len(common), "frontier-clipped points dominate"
+    mismatch = [k for k in exact if ref[k] != ours[k]]
+    assert not mismatch, (
+        f"{len(mismatch)}/{len(exact)} visited-count mismatches; "
+        f"first: key={mismatch[0]} oracle={ref[mismatch[0]]} ours={ours[mismatch[0]]}"
+    )
+    # clipped points may only OVER-count (our frontier lags the oracle's)
+    assert all(ours[k] >= ref[k] for k in common)
+    assert any(ours[k] > 0 for k in common)
+
+
+def test_flush_releases_held_finished_clusters():
+    """Finished clusters hold the publish frontier for one completion round
+    (reference one-round delay, ...cpp:943-959); at stream end the flush
+    kicks must release every such hold: afterwards no finished component may
+    still gate the frontier, and every publishable cluster must have been
+    emitted exactly once."""
+    cfg = small_config(stop_after_association=False)
+    # stop mid-revolution so the last batch's finished clusters are held
+    firings, poses = make_stream(num_frames=2, seed=9)
+    cut = len(firings) - NUM_COLS // 3
+    firings, poses = firings[:cut], poses[:cut]
+
+    pipe = ContinuousClustering(cfg, firing_batch_size=64)
+    pipe.reset(NUM_ROWS)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    emitted = []
+    pipe.set_finished_cluster_callback(
+        lambda pts, stamp: emitted.append(int(pts["id"][0]))
+    )
+    for f, p in zip(firings, poses):
+        pipe.add_firing(f, p)
+    pipe.flush()
+
+    s = pipe.state
+    live = np.asarray(s.slot_live)
+    valid = np.asarray(s.slot_valid)
+    finished = np.asarray(s.slot_finished)
+    gmin = np.asarray(s.slot_gmin)
+    fu = int(np.asarray(s.first_unpublished))
+    held = live & valid & finished
+    # the frontier must have advanced past every finished component unless a
+    # genuinely unfinished earlier component blocks it: a finished slot with
+    # gmin >= fu and nothing unfinished before it is an unreleased hold
+    unfin_min = gmin[live & valid & ~finished].min() if np.any(
+        live & valid & ~finished
+    ) else np.iinfo(np.int32).max
+    blocked = held & (gmin >= fu) & (gmin < unfin_min)
+    assert not np.any(blocked), (
+        f"finished clusters still hold the frontier after flush: "
+        f"gmins {gmin[blocked].tolist()}, fu={fu}, unfin_min={unfin_min}"
+    )
+    # every published id emitted exactly once
+    assert len(emitted) == len(set(emitted))
+    cid = np.asarray(s.slot_cid)
+    counts = np.asarray(s.slot_count)
+    # ids are assigned at >5 members (…cpp:936); the publish callback gate
+    # is >20 (…cpp:1023) — every still-visible id above the publish gate
+    # must have been emitted
+    must_emit = sorted(cid[(cid > 0) & live & (counts > 20)])
+    counter = int(np.asarray(s.cluster_counter))
+    assert all(0 < i < counter for i in emitted)
+    assert set(must_emit) <= set(emitted), (
+        f"unemitted publishable ids: {sorted(set(must_emit) - set(emitted))}"
+    )
+    assert len(emitted) > 0
