@@ -97,6 +97,7 @@ class ContinuousClustering:
     def reset(self, num_rows: int) -> None:
         self._num_rows = num_rows
         self._state = init_state(self._config, num_rows)
+        self._fetch_cache = {}
         self._reset_required = False
         self._fifo.clear()
         self._fifo_poses.clear()
@@ -434,6 +435,83 @@ class ContinuousClustering:
             self._h_origin_rot += delta
 
     # ---------------------------------------------------------------- access
+    _FETCH_F32 = ("x", "y", "z", "distance", "azimuth", "inclination",
+                  "cont_az", "finish_az")
+    _FETCH_U32 = ("stamp_lo", "stamp_hi", "uidx_lo", "uidx_hi")
+    _FETCH_I32 = ("gcol", "firing_index", "intensity", "ground_label",
+                  "debug_label", "nbr_stats", "slot", "is_ignored")
+    _FETCH_ORDER = _FETCH_F32 + _FETCH_U32 + _FETCH_I32
+
+    def _fetch_packed(self, from_gcol: int, n: int):
+        """Fetch all per-cell readout fields for ``n`` columns in one jitted
+        dispatch + one transfer: a (n_fields, R, width) i32 slab (f32/u32
+        bitcast) plus the packed slot tables.  Widths are bucketed to powers
+        of two so at most ~log2(ring) programs compile."""
+        import jax
+
+        from ..ops.state import ring_read
+
+        rc = self._state.ring_cols
+        bucket = max(8, 1 << max(0, n - 1).bit_length())
+        bucket = min(bucket, rc)
+        if bucket < n:  # range exceeds the ring: legacy modular-gather path
+            lcols = jnp.asarray(
+                (from_gcol + np.arange(n)) % rc, jnp.int32
+            )
+            out = {
+                f: np.asarray(getattr(self._state, f)[:, lcols])
+                for f in self._FETCH_ORDER
+            }
+            out["is_ignored"] = out["is_ignored"].astype(np.int32)
+            sp = np.asarray(self._state.slot_parent)
+            cid = np.asarray(self._state.slot_cid)
+            rep = np.asarray(self._state.slot_rep)
+            slots = out["slot"]
+            res = sp[np.maximum(slots, 0)]
+            has = slots >= 0
+            out["cell_cid"] = np.where(has, cid[res], 0)
+            out["cell_rep"] = np.where(has, rep[res], -1)
+            return out
+
+        fn = self._fetch_cache.get(bucket)
+        if fn is None:
+            order = self._FETCH_ORDER
+
+            def run(state, lc0):
+                def rd(name):
+                    a = ring_read(getattr(state, name), lc0, bucket)
+                    if a.dtype in (jnp.float32, jnp.uint32):
+                        a = jax.lax.bitcast_convert_type(a, jnp.int32)
+                    elif a.dtype == jnp.bool_:
+                        a = a.astype(jnp.int32)
+                    return a
+
+                rows = [rd(f) for f in order]
+                # slot join on device: two extra slab rows instead of a
+                # second transfer of the K tables
+                slot = ring_read(state.slot, lc0, bucket)
+                res = jnp.take(state.slot_parent, jnp.maximum(slot, 0))
+                has = slot >= 0
+                rows.append(jnp.where(has, jnp.take(state.slot_cid, res), 0))
+                rows.append(jnp.where(has, jnp.take(state.slot_rep, res), -1))
+                return jnp.stack(rows)
+
+            fn = jax.jit(run)
+            self._fetch_cache[bucket] = fn
+
+        slab = np.asarray(fn(self._state, jnp.asarray(from_gcol % rc, jnp.int32)))
+        out = {}
+        for i, f in enumerate(self._FETCH_ORDER):
+            a = np.ascontiguousarray(slab[i, :, :n])
+            if f in self._FETCH_F32:
+                a = a.view(np.float32)
+            elif f in self._FETCH_U32:
+                a = a.view(np.uint32)
+            out[f] = a
+        out["cell_cid"] = np.ascontiguousarray(slab[-2, :, :n])
+        out["cell_rep"] = np.ascontiguousarray(slab[-1, :, :n])
+        return out
+
     @property
     def state(self) -> RingState:
         return self._state
@@ -454,17 +532,24 @@ class ContinuousClustering:
     ) -> np.ndarray:
         """Read back a column range as a structured point cloud (analog of
         columnToPointCloud, src/ros/ros_utils.cpp:34-77). Rows are flattened
-        column-major like the reference message layout."""
+        column-major like the reference message layout.
+
+        All per-cell fields come back in ONE jitted dispatch and ONE device
+        transfer (a packed (n_fields, R, width) i32 slab, bitcast on host):
+        a per-field gather costs ~20 device round trips, which dominates
+        publish latency on any host and catastrophically so through a
+        remote device link."""
         s = self._state
         rc = s.ring_cols
         R = self._num_rows
         gcols = np.arange(from_gcol, to_gcol + 1)
         lcols = gcols % rc
-
-        def take(arr):
-            return np.asarray(arr[:, jnp.asarray(lcols)])  # (R, n)
-
         n = len(gcols)
+
+        fetched = self._fetch_packed(from_gcol, n)
+
+        def take(arr_name):
+            return fetched[arr_name]
         out = np.zeros(R * n, dtype=stage_dtype(stage))
         origin_az = TWO_PI * self._h_origin_rot
 
@@ -472,52 +557,46 @@ class ContinuousClustering:
             if name in out.dtype.names:
                 out[name] = np.asarray(vals).T.reshape(-1)  # column-major
 
-        put("x", take(s.x))
-        put("y", take(s.y))
-        put("z", take(s.z))
-        put("firing_index", take(s.firing_index))
-        put("intensity", np.clip(take(s.intensity), 0, 255).astype(np.uint8))
-        put("globally_unique_point_index", combine_u64(take(s.uidx_hi), take(s.uidx_lo)))
-        stamps = combine_u64(take(s.stamp_hi), take(s.stamp_lo))
+        put("x", take("x"))
+        put("y", take("y"))
+        put("z", take("z"))
+        put("firing_index", take("firing_index"))
+        put("intensity", np.clip(take("intensity"), 0, 255).astype(np.uint8))
+        put("globally_unique_point_index", combine_u64(take("uidx_hi"), take("uidx_lo")))
+        stamps = combine_u64(take("stamp_hi"), take("stamp_lo"))
         put("time_sec", (stamps // np.uint64(1_000_000_000)).astype(np.uint32))
         put("time_nsec", (stamps % np.uint64(1_000_000_000)).astype(np.uint32))
-        put("distance", take(s.distance))
-        put("azimuth_angle", take(s.azimuth))
-        put("inclination_angle", take(s.inclination))
-        put("continuous_azimuth_angle", take(s.cont_az).astype(np.float64) + origin_az)
-        put("global_column_index", take(s.gcol).astype(np.int64))
+        put("distance", take("distance"))
+        put("azimuth_angle", take("azimuth"))
+        put("inclination_angle", take("inclination"))
+        put("continuous_azimuth_angle", take("cont_az").astype(np.float64) + origin_az)
+        put("global_column_index", take("gcol").astype(np.int64))
         put("local_column_index", np.broadcast_to(lcols[None, :], (R, n)).astype(np.uint16))
         put("row_index", np.broadcast_to(np.arange(R)[:, None], (R, n)).astype(np.uint16))
-        put("ground_point_label", take(s.ground_label).astype(np.uint8))
-        put("debug_ground_point_label", take(s.debug_label).astype(np.uint8))
+        put("ground_point_label", take("ground_label").astype(np.uint8))
+        put("debug_ground_point_label", take("debug_label").astype(np.uint8))
         put("height_over_ground", np.full((R, n), np.nan, np.float32))
-        put("ignore_for_clustering", take(s.is_ignored).astype(np.uint8))
+        put("ignore_for_clustering", take("is_ignored").astype(np.uint8))
         put(
             "finished_at_continuous_azimuth_angle",
-            take(s.finish_az).astype(np.float64) + origin_az,
+            take("finish_az").astype(np.float64) + origin_az,
         )
         # profiling counters (populated when clustering.record_neighbor_stats;
         # reference …cpp:725 / ros_utils.cpp:291-295).  num_child_points has
         # no direct analog in the CC formulation; the tested-edge degree
         # stands in.
-        nbr = take(s.nbr_stats)
+        nbr = take("nbr_stats")
         put("number_of_visited_neighbors", (nbr & 0xFFFF).astype(np.uint32))
         put("num_child_points", (nbr >> 16).astype(np.uint16))
         # per-cell cluster ids are resolved through the component-slot table
-        # (cells store one slot index; ids/roots live at K-sized tables —
+        # on device during the packed fetch (cells store one slot index;
         # slots are freed only after their cells are cleared, so any cell
         # still holding a slot resolves to valid component data)
-        slots = take(s.slot)
-        sp = np.asarray(s.slot_parent)      # path-compressed on device
-        cid_tab = np.asarray(s.slot_cid)
-        rep_tab = np.asarray(s.slot_rep)
-        res = sp[np.maximum(slots, 0)]
-        has = slots >= 0
-        put("id", np.where(has, cid_tab[res], 0).astype(np.uint64))
+        put("id", fetched["cell_cid"].astype(np.uint64))
         # tree fields have no analog in the CC formulation; the component's
         # representative cell stands in for the tree root
-        rep = np.where(has, rep_tab[res], 0)
-        put("tree_id", np.maximum(rep, 0).astype(np.uint64))
-        put("tree_root_row_index", (np.maximum(rep, 0) // rc).astype(np.uint16))
-        put("tree_root_column_index", (np.maximum(rep, 0) % rc).astype(np.int64))
+        rep = np.maximum(fetched["cell_rep"], 0)
+        put("tree_id", rep.astype(np.uint64))
+        put("tree_root_row_index", (rep // rc).astype(np.uint16))
+        put("tree_root_column_index", (rep % rc).astype(np.int64))
         return out

@@ -101,17 +101,18 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     distw = take(state.distance)
     gcolw = take(state.gcol)
     ignw = take(state.is_ignored)
-    slotw = take(state.slot)
     # frozen on the fly: a cell belongs to a finished cluster iff its slot's
     # canonical component is finished (slot_parent is kept path-compressed,
-    # so one hop resolves).  Only halo cells (columns < gcol0) carry valid
-    # slots: batch columns are fresh this step and may still hold a STALE
-    # slot from one rotation ago (ingest overwrites cells before the lagging
-    # ring clear reaches them), so the batch region is masked out here and
-    # in the union below.
-    is_halo = wcols[None, :] < inputs.gcol0
-    slot_res = jnp.take(state.slot_parent, jnp.maximum(slotw, 0))
-    frozw = is_halo & (slotw >= 0) & jnp.take(state.slot_finished, slot_res)
+    # so one hop resolves).  Only halo cells (the first H window columns,
+    # wcols < gcol0) carry valid slots: batch columns are fresh this step
+    # and may still hold a STALE slot from one rotation ago (ingest
+    # overwrites cells before the lagging ring clear reaches them) — so
+    # slots are read for the halo region only, keeping these gathers at
+    # R*H instead of R*(H+B) indices.
+    slot_h = ring_read(state.slot, lc0, H)                      # (R, H)
+    slot_res = jnp.take(state.slot_parent, jnp.maximum(slot_h, 0))
+    froz_h = (slot_h >= 0) & jnp.take(state.slot_finished, slot_res)
+    frozw = jnp.concatenate([froz_h, jnp.zeros((R, B), bool)], axis=1)
 
     col_ok = (wcols[None, :] >= state.first_unpublished) & (
         wcols[None, :] < inputs.gcol0 + inputs.n_cols
@@ -209,6 +210,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     bits = jnp.stack([w0, w1], axis=1)  # (ND, 2, R, B)
 
+    slotw = slot_h
     nbr_stats = None
     if cl.record_neighbor_stats:
         # reconstruct the reference's visited-cell counter (…cpp:725): a
@@ -581,12 +583,13 @@ def associate_and_complete(
     batchf = jnp.concatenate(
         [jnp.zeros((R, H), bool), active_b], axis=1
     ).reshape(-1)
-    slotf = slotw.reshape(-1)
     # batch columns may hold stale slots from one rotation ago (see
-    # _edge_bits); only halo cells' slots are trusted
-    halof = (awcols[None, :] < inputs.gcol0).reshape(1, WCOL)
-    halof = jnp.broadcast_to(halof, (R, WCOL)).reshape(-1)
-    has_slot = activef & halof & (slotf >= 0)
+    # _edge_bits); only halo cells (the first H window columns) carry
+    # slots, so the whole label<->slot linkage runs on R*H-sized arrays
+    slot_hf = slotw.reshape(-1)                      # (R*H,)
+    active_hf = active_w[:, :H].reshape(-1)
+    lab_h = Lw[:, :H].reshape(-1)
+    has_slot = active_hf & (slot_hf >= 0)
 
     fu_old = state.first_unpublished
     newest_gcol = inputs.gcol0 + inputs.n_cols - 1
@@ -598,14 +601,14 @@ def associate_and_complete(
     # star connecting every slotted member to the label (FastSV over these
     # edges merges all components the reference would merge, …cpp:795-833)
     rs0 = jnp.where(
-        has_slot, jnp.take(state.slot_parent, jnp.maximum(slotf, 0)), SENT
+        has_slot, jnp.take(state.slot_parent, jnp.maximum(slot_hf, 0)), SENT
     )
     m0 = (
         jnp.full(n_wc, SENT, jnp.int32)
-        .at[jnp.where(activef, lab, n_wc)]
+        .at[jnp.where(has_slot, lab_h, n_wc)]
         .min(rs0, mode="drop")
     )
-    m0lab = jnp.take(m0, jnp.where(activef, lab, 0))
+    m0lab = jnp.take(m0, jnp.where(has_slot, lab_h, 0))
     edge_ok = has_slot & (m0lab < rs0)
     ea = jnp.where(edge_ok, rs0, 0)
     eb = jnp.where(edge_ok, m0lab, 0)

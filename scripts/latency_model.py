@@ -83,9 +83,21 @@ for _ in range(N):
 t1 = time.perf_counter()
 emit_ms = (t1 - t0) * 1000.0 / N
 
+# device-link round-trip floor: a trivial dispatch + scalar fetch.  The
+# emit path costs one dispatch + two fetches; on a remote tunnel the link
+# floor dominates, on a PCIe-attached host it is ~0.1 ms.
+trivial = jax.jit(lambda x: x + 1)
+_ = int(np.asarray(trivial(jnp.int32(0))))
+t0 = time.perf_counter()
+for k in range(10):
+    _ = int(np.asarray(trivial(jnp.int32(k))))
+t1 = time.perf_counter()
+link_ms = (t1 - t0) * 1000.0 / 10
+
 print(json.dumps({
     "step_ms": round(step_ms, 3),
     "emit_ms": round(emit_ms, 3),
+    "link_roundtrip_ms": round(link_ms, 3),
     "steps_per_rev": steps_per_rev,
     "clusters_emitted_per_probe": len(emit) // max(N, 1),
 }), flush=True)
@@ -125,11 +137,18 @@ def main():
     batching_p95 = 0.95 * (B - 1) * tau_ms
     p50 = batching_p50 + meas["step_ms"] + meas["emit_ms"]
     p95 = batching_p95 + meas["step_ms"] + meas["emit_ms"]
+    # the emit path is one dispatch + two fetches = ~3 link round trips;
+    # modeled local emit removes the remote-tunnel link floor (PCIe hosts
+    # have a ~0.1 ms floor, this tunnel ~40-60 ms)
+    link = meas.get("link_roundtrip_ms", 0.0)
+    emit_local = max(0.3, meas["emit_ms"] - 3.0 * link)
+    p50_local = batching_p50 + meas["step_ms"] + emit_local
 
     out = {
         "metric": "p50_cluster_publish_latency_ms",
         "value": round(p50, 3),
         "p95_ms": round(p95, 3),
+        "p50_modeled_local_attach_ms": round(p50_local, 3),
         "target_ms": 10.0,
         "reference_headline_ms": 5.0,
         "config": {
@@ -140,13 +159,19 @@ def main():
             "batching_p50": round(batching_p50, 3),
             "device_step_measured": meas["step_ms"],
             "host_emit_measured": meas["emit_ms"],
+            "link_roundtrip_measured": link,
+            "host_emit_modeled_local_attach": round(emit_local, 3),
         },
         "method": (
             "decomposed: batching delay analytic; device step measured "
             "scan-resident on the real chip at the latency config (B={}, "
-            "nth=1); host emit measured with real get_columns + grouping. "
-            "Composition is additive because the three phases are strictly "
-            "sequential per batch in single-threaded mode.".format(B)
+            "nth=1); host emit measured with real get_columns + grouping "
+            "(one packed dispatch + one slab transfer). Composition is additive "
+            "because the three phases are strictly sequential per batch in "
+            "single-threaded mode. 'value' is as-measured through this "
+            "remote TPU tunnel whose per-round-trip floor is also reported; "
+            "p50_modeled_local_attach_ms subtracts the tunnel link floor "
+            "(3 round trips) to model a PCIe/local-attached host.".format(B)
         ),
     }
     path = os.path.join(repo, "LATENCY_r2.json")
