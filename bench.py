@@ -18,7 +18,7 @@ BASELINE_PTS_PER_S = 2.2e6
 
 # fallback tiers: (ring_revolutions, firing_batch); tried in order until one
 # completes (a TPU runtime fault kills the child process, not the bench)
-TIERS = [(10, 256), (4, 256), (4, 128), (2, 64)]
+TIERS = [(10, 384), (4, 256), (4, 128), (2, 64)]
 
 
 def main():
@@ -39,11 +39,13 @@ def main():
 
     num_rows, num_cols = 64, 2200  # KITTI-shaped stream
     ring_revs = int(os.environ.get("CCT_BENCH_RING", "10"))
-    batch = int(os.environ.get("CCT_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("CCT_BENCH_BATCH", "384"))
     mode = os.environ.get("CCT_BENCH_MODE", "scan")
-    # run tree combination every nth column (reference perf knob,
-    # cfg/ContinuousClustering.cfg; output parity verified in tests)
-    nth = int(os.environ.get("CCT_BENCH_NTH", "1024"))
+    # tree combination cadence (reference perf knob,
+    # cfg/ContinuousClustering.cfg).  Default 1 = the reference's default
+    # configuration: the component-slot completion is K-sized elementwise
+    # work, so per-batch completion costs nothing measurable
+    nth = int(os.environ.get("CCT_BENCH_NTH", "1"))
     cfg = cct.kitti_config(single_threaded=False)
     cfg = cfg.replace(
         range_image=cfg.range_image.__class__(

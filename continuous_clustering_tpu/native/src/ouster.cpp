@@ -7,12 +7,19 @@
 // (ouster_input.hpp:75-88); signal scaled to 0-255; one firing per valid
 // column.
 //
-// Legacy format (parameterized so other profiles can be added): per column
+// Legacy format: per column
 //   16-byte header: timestamp u64, measurement id u16, frame id u16,
 //   encoder count u32
 //   pixels_per_column pixels of 12 bytes: range u32 (19 bits + flags),
 //   reflectivity u16, signal u16, near_ir u16, padding u16
 //   4-byte block status footer (0xFFFFFFFF = valid)
+//
+// RNG19_RFL8_SIG16_NIR16 (single-return eUDP) format: 32-byte packet
+// header, then per column a 12-byte header (timestamp u64, measurement id
+// u16, status u16 with bit0 = valid) and pixels of 12 bytes: range u32
+// (19 bits), reflectivity u8, signal u16 @6, near_ir u16 @8.  Azimuth
+// comes from the measurement id (no encoder field):
+// theta_enc = 2*pi * (1 - m_id / columns_per_frame).
 
 #include <cmath>
 #include <cstdint>
@@ -28,6 +35,7 @@ struct OusterDecoder {
   int pixels_per_column;
   int columns_per_packet;
   int columns_per_frame;
+  int profile;  // 0 = LEGACY, 1 = RNG19_RFL8_SIG16_NIR16
   double lidar_origin_to_beam_origin_mm;
   std::vector<float> altitude;  // radians, per pixel
   std::vector<float> azimuth;   // radians, per pixel (beam azimuth offsets)
@@ -39,29 +47,43 @@ struct OusterDecoder {
 
   void decodePacket(const uint8_t* data, int64_t size, uint64_t host_stamp) {
     const int pixel_bytes = 12;
-    const int col_bytes = 16 + pixels_per_column * pixel_bytes + 4;
-    if (size < static_cast<int64_t>(col_bytes) * columns_per_packet) return;
+    const int header = profile == 1 ? 32 : 0;
+    const int col_header = profile == 1 ? 12 : 16;
+    const int col_footer = profile == 1 ? 0 : 4;
+    const int col_bytes = col_header + pixels_per_column * pixel_bytes + col_footer;
+    if (size < header + static_cast<int64_t>(col_bytes) * columns_per_packet)
+      return;
     for (int c = 0; c < columns_per_packet; ++c) {
-      const uint8_t* col = data + c * col_bytes;
-      uint32_t status;
-      std::memcpy(&status, col + col_bytes - 4, 4);
-      if (status != 0xFFFFFFFFu) continue;
+      const uint8_t* col = data + header + c * col_bytes;
       uint16_t mid;
       std::memcpy(&mid, col + 8, 2);
-      uint32_t encoder;
-      std::memcpy(&encoder, col + 12, 4);
-      // encoder ticks: 90112 per rev
-      float theta_enc = 2.0f * static_cast<float>(M_PI) *
-                        (1.0f - static_cast<float>(encoder) / 90112.0f);
+      float theta_enc;
+      if (profile == 1) {
+        uint16_t status16;
+        std::memcpy(&status16, col + 10, 2);
+        if (!(status16 & 0x1)) continue;
+        theta_enc = 2.0f * static_cast<float>(M_PI) *
+                    (1.0f - static_cast<float>(mid) /
+                                static_cast<float>(columns_per_frame));
+      } else {
+        uint32_t status;
+        std::memcpy(&status, col + col_bytes - 4, 4);
+        if (status != 0xFFFFFFFFu) continue;
+        uint32_t encoder;
+        std::memcpy(&encoder, col + 12, 4);
+        // encoder ticks: 90112 per rev
+        theta_enc = 2.0f * static_cast<float>(M_PI) *
+                    (1.0f - static_cast<float>(encoder) / 90112.0f);
+      }
       size_t base = out_xyz.size();
       out_xyz.resize(base + static_cast<size_t>(pixels_per_column) * 3, kNaN);
       out_inten.resize(out_inten.size() + pixels_per_column, 0);
       out_stamps.resize(out_stamps.size() + pixels_per_column, host_stamp);
       for (int px = 0; px < pixels_per_column; ++px) {
-        const uint8_t* p = col + 16 + px * pixel_bytes;
+        const uint8_t* p = col + col_header + px * pixel_bytes;
         uint32_t range_raw;
         std::memcpy(&range_raw, p, 4);
-        uint32_t range_mm = range_raw & 0x000FFFFF;
+        uint32_t range_mm = range_raw & (profile == 1 ? 0x0007FFFFu : 0x000FFFFFu);
         uint16_t signal;
         std::memcpy(&signal, p + 6, 2);
         if (range_mm == 0) continue;
@@ -91,13 +113,14 @@ struct OusterDecoder {
 extern "C" {
 
 void* cct_ouster_create(int pixels_per_column, int columns_per_packet,
-                        int columns_per_frame,
+                        int columns_per_frame, int profile,
                         double lidar_origin_to_beam_origin_mm,
                         const float* altitude_rad, const float* azimuth_rad) {
   auto* d = new OusterDecoder();
   d->pixels_per_column = pixels_per_column;
   d->columns_per_packet = columns_per_packet;
   d->columns_per_frame = columns_per_frame;
+  d->profile = profile;
   d->lidar_origin_to_beam_origin_mm = lidar_origin_to_beam_origin_mm;
   d->altitude.assign(altitude_rad, altitude_rad + pixels_per_column);
   d->azimuth.assign(azimuth_rad, azimuth_rad + pixels_per_column);

@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .state import RingState, clear_columns, ring_read, ring_write
+from .state import RingState, clear_columns_chunk, ring_read, ring_write
 
 I32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -781,21 +781,24 @@ def associate_and_complete(
         fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
         # clear one rotation behind the frontier (…cpp:1079) but never past
         # the previous completion's frontier (async: the host reads
-        # [fu_old, fu_new) one step later)
-        ring_start_new = jnp.where(
+        # [fu_old, fu_new) one step later).  This only moves the clear
+        # TARGET; the actual clearing runs as a bounded chunk every batch.
+        clear_target_new = jnp.where(
             has_data,
             jnp.maximum(
                 jnp.maximum(0, jnp.minimum(fu_new - num_cols, clear_bound_old)),
-                ring_start_old,
+                state.clear_target,
             ),
-            ring_start_old,
+            state.clear_target,
         )
         clear_bound_new = jnp.where(has_data, fu_old, clear_bound_old)
 
         # free slots whose component's cells have been cleared from the ring
         # (cells of freed slots can no longer be read: cleared cells have
-        # slot == -1); forwarding slots are freed with their canonical
-        freed_canon = live & valid & finished & (gmax < ring_start_new)
+        # slot == -1); forwarding slots are freed with their canonical.
+        # ring_start is the ACTUALLY-cleared bound (chunk clears may lag the
+        # target; freeing waits for them)
+        freed_canon = live & valid & finished & (gmax < ring_start_old)
         freed = live & jnp.take(freed_canon, sp)
         live2 = live & ~freed
         valid2 = valid & ~freed
@@ -809,14 +812,14 @@ def associate_and_complete(
         rep2 = jnp.where(freed, -1, rep)
         return (
             live2, valid2, finished2, cid2, sp2, fin2, gmin2, gmax2, cnt2,
-            rep2, num_new, fu_new, ring_start_new, clear_bound_new,
+            rep2, num_new, fu_new, clear_target_new, clear_bound_new,
         )
 
     def skip_completion(ops):
         (live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep) = ops
         return (
             live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep,
-            jnp.asarray(0, jnp.int32), fu_old, ring_start_old,
+            jnp.asarray(0, jnp.int32), fu_old, state.clear_target,
             state.clear_bound,
         )
 
@@ -837,7 +840,7 @@ def associate_and_complete(
         outs = jax.lax.cond(did_complete, completion, skip_completion, ops)
     (
         live_o, valid_o, finished_o, cid_o, sp_o, fin_o, gmin_o, gmax_o,
-        cnt_o, rep_o, num_new, fu_new, ring_start_new, clear_bound_new,
+        cnt_o, rep_o, num_new, fu_new, clear_target_new, clear_bound_new,
     ) = outs
     if profile_cut == "completion":
         return _cut_result(state, fu_old, (cid_o, fin_o, cnt_o, fu_new))
@@ -866,17 +869,15 @@ def associate_and_complete(
         cluster_counter=state.cluster_counter + num_new,
         first_unpublished=fu_new,
         clear_bound=clear_bound_new,
-        ring_start=ring_start_new,
+        clear_target=clear_target_new,
         overflow=state.overflow | window_overflow | slot_overflow,
     )
-    # ring_start only advances on completions that moved the frontier a full
-    # rotation forward; skip the full-ring masked resets otherwise
-    state = jax.lax.cond(
-        ring_start_new > ring_start_old,
-        lambda s: clear_columns(s, ring_start_old, ring_start_new - 1),
-        lambda s: s,
-        state,
+    # bounded chunk clear toward the target (O(B) per batch; reference
+    # clearColumns, ...cpp:1094-1145, cleared eagerly on the publish thread)
+    state, cleared_to = clear_columns_chunk(
+        state, ring_start_old, clear_target_new, B
     )
+    state = dataclasses.replace(state, ring_start=cleared_to)
     return CompleteResult(
         state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new
     )

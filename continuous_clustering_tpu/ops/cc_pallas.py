@@ -54,18 +54,22 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
                   bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
     """One Gauss-Seidel sweep.
 
-    Mosaic constraints shape the loop structure: dynamic sublane-offset
-    slices are unsupported, so the row offset ``dr`` is a *static* unroll
-    (static slices at any offset are fine) while the column offset ``dc``
-    is dynamic via lane-axis rotates (circular wrap only touches the
-    INF/zero borders, which is exactly what out-of-window reads should see).
+    Mosaic constraints shape the code: dynamic sublane-offset slices are
+    unsupported, so the row offset ``dr`` is a *static* unroll (static
+    slices at any offset are fine) while the column offset ``dc`` is
+    dynamic via lane-axis rotates (circular wrap only touches the INF/zero
+    borders, which is exactly what out-of-window reads should see).
+    Crucially, masks stay **i32 end-to-end**: bool vectors (jnp.where with
+    a bool mask, bool concatenate) hit Mosaic's "Invalid vector register
+    cast" in this environment (scripts/pallas_bisect.py); the arithmetic
+    select ``m*x + (1-m)*INF`` lowers fine.
     """
-    inf = jnp.int32(R * WCOL)
+    INF = R * WCOL  # python int (jnp scalars get captured as constants)
     n_dr = 2 * V + 1
     PW = _padded_width(WCOL, H)
 
     # initialize padded scratches: INF/zero borders, payload in the center
-    lpad_ref[:, :] = jnp.full((R + 2 * V, PW), inf, jnp.int32)
+    lpad_ref[:, :] = jnp.full((R + 2 * V, PW), INF, jnp.int32)
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
     mpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
 
@@ -74,26 +78,26 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         w1 = bits_ref[dc, 1]
         for dr_idx in range(n_dr):  # static unroll over row offsets
             word = w0 if dr_idx < 32 else w1
-            m = ((word >> (dr_idx % 32)) & 1) == 1  # (R, B)
+            mi = (word >> (dr_idx % 32)) & 1  # (R, B) i32 in {0, 1}
             mfull = jnp.concatenate(
-                [jnp.zeros((R, H), jnp.bool_), m], axis=1
+                [jnp.zeros((R, H), jnp.int32), mi], axis=1
             )  # (R, WCOL) source mask at batch columns
-            mpad_ref[V : V + R, 2 * H : 2 * H + B] = m.astype(jnp.int32)
+            mpad_ref[V : V + R, 2 * H : 2 * H + B] = mi
 
             cur = lpad_ref[V : V + R, H : H + WCOL]
 
             # pull-left: p pulls (r + dr, wc - dc)
             a = lpad_ref[dr_idx : dr_idx + R, :]              # rows r + dr
             nb = pltpu.roll(a, dc, axis=1)[:, H : H + WCOL]   # cols - dc
-            upd = jnp.minimum(cur, jnp.where(mfull, nb, inf))
+            upd = jnp.minimum(cur, mfull * nb + (1 - mfull) * INF)
 
             # pull-right: q pulls source p at (r - dr, wc + dc), gated on
             # p's mask bit (shifted from the mask scratch)
             b = lpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
             src = pltpu.roll(b, -dc, axis=1)[:, H : H + WCOL]
             mrow = mpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
-            ms = pltpu.roll(mrow, -dc, axis=1)[:, H : H + WCOL] == 1
-            upd = jnp.minimum(upd, jnp.where(ms, src, inf))
+            ms = pltpu.roll(mrow, -dc, axis=1)[:, H : H + WCOL]
+            upd = jnp.minimum(upd, ms * src + (1 - ms) * INF)
 
             lpad_ref[V : V + R, H : H + WCOL] = upd
         return 0

@@ -101,6 +101,9 @@ class RingState:
     # ring after a step returns (one step later in async mode), so clearing
     # may never pass the previous step's frontier.
     clear_bound: jax.Array         # i32
+    # columns < clear_target are due for clearing; ring_start tracks how far
+    # the bounded per-batch chunk clear has actually gotten (-1 = unset)
+    clear_target: jax.Array        # i32
     cluster_counter: jax.Array     # i32
     origin_rot: jax.Array          # i32: azimuth origin in whole rotations
     reset_required: jax.Array      # bool
@@ -162,6 +165,7 @@ def init_state(config: Config, num_rows: int) -> RingState:
         ring_end=jnp.asarray(-1, jnp.int32),
         first_unpublished=jnp.asarray(-1, jnp.int32),
         clear_bound=jnp.asarray(-1, jnp.int32),
+        clear_target=jnp.asarray(-1, jnp.int32),
         cluster_counter=jnp.asarray(1, jnp.int32),
         origin_rot=jnp.asarray(0, jnp.int32),
         reset_required=jnp.asarray(False),
@@ -251,22 +255,30 @@ def ring_write(arr: jax.Array, lcol0: jax.Array, vals: jax.Array) -> jax.Array:
     return arr
 
 
-def clear_columns(state: RingState, from_gcol: jax.Array, to_gcol: jax.Array) -> RingState:
-    """Clear ring columns in [from_gcol, to_gcol] (reference clearColumns,
-    src/clustering/continuous_clustering.cpp:1094-1145), vectorized as a
-    masked reset over local column indices."""
-    rc = state.ring_cols
-    lcols = jnp.arange(rc, dtype=jnp.int32)
-    n = to_gcol - from_gcol + 1
-    # local index of each gcol in the clear range; mask via modular distance
-    dist = (lcols - (from_gcol % rc)) % rc
-    mask = (dist < n)[None, :]  # (1, rc) broadcast over rows
+def clear_columns_chunk(
+    state: RingState, cleared_to: jax.Array, target: jax.Array, width: int
+) -> Tuple[RingState, jax.Array]:
+    """Clear at most ``width`` ring columns in [cleared_to, target) and
+    return (state, new_cleared_to).
+
+    The reference clears lazily one rotation behind the publish frontier
+    (clearColumns, …cpp:1094-1145); with the component-slot design clearing
+    is bookkeeping (stale cells are excluded by their gcol mismatch and
+    slots are freed against the cleared bound), so a bounded O(width) chunk
+    per batch — two dynamic_update_slices per field — replaces the full-ring
+    masked reset and still catches up at the column rate."""
+    n = jnp.clip(target - cleared_to, 0, width)
+    lc0 = jnp.maximum(cleared_to, 0) % state.ring_cols
+    mask = (jnp.arange(width) < n)[None, :]
+    R = state.num_rows
 
     updates = {}
     for name, value in CLEAR_VALUES.items():
         arr = getattr(state, name)
-        updates[name] = jnp.where(mask, jnp.asarray(value, arr.dtype), arr)
-    return dataclasses.replace(state, **updates)
+        cur = ring_read(arr, lc0, width)
+        vals = jnp.where(mask, jnp.asarray(value, arr.dtype), cur)
+        updates[name] = ring_write(arr, lc0, vals)
+    return dataclasses.replace(state, **updates), cleared_to + n
 
 
 def rebase_azimuth(state: RingState, rotations: int) -> Tuple[RingState, int]:

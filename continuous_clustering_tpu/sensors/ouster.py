@@ -1,8 +1,11 @@
 """Ouster packet input: native C++ decoder with a NumPy fallback.
 
 Parses the sensor_info JSON (beam angles, data format — same schema as the
-reference's calibrations/touareg_os32_*.json) and decodes LEGACY-profile
-lidar packets into firings (reference OusterInput, ros/ouster_input.hpp).
+reference's calibrations/touareg_os32_*.json) and decodes LEGACY or
+RNG19_RFL8_SIG16_NIR16 (single-return eUDP) lidar packets into firings
+(reference OusterInput, ros/ouster_input.hpp, which delegates the format
+to the ouster-sdk packet_format).  The profile is selected by the
+``udp_profile_lidar`` field of the sensor_info (absent = LEGACY).
 """
 
 from __future__ import annotations
@@ -29,6 +32,16 @@ class OusterInput(SensorInput):
         self.columns_per_packet = int(fmt["columns_per_packet"])
         self.columns_per_frame = int(fmt["columns_per_frame"])
         self.beam_to_origin_mm = float(sensor_info["lidar_origin_to_beam_origin_mm"])
+        prof_name = str(fmt.get("udp_profile_lidar", "LEGACY"))
+        if prof_name in ("LEGACY",):
+            self.profile = 0
+        elif prof_name == "RNG19_RFL8_SIG16_NIR16":
+            self.profile = 1
+        else:
+            raise ValueError(
+                f"unsupported Ouster udp_profile_lidar: {prof_name!r} "
+                "(supported: LEGACY, RNG19_RFL8_SIG16_NIR16)"
+            )
         self.altitude = np.deg2rad(
             np.asarray(sensor_info["beam_altitude_angles"], np.float32)
         )
@@ -46,6 +59,7 @@ class OusterInput(SensorInput):
                 self.pixels_per_column,
                 self.columns_per_packet,
                 self.columns_per_frame,
+                self.profile,
                 ctypes.c_double(self.beam_to_origin_mm),
                 self.altitude.ctypes.data_as(ctypes.c_void_p),
                 self.azimuth.ctypes.data_as(ctypes.c_void_p),
@@ -120,19 +134,31 @@ class OusterInput(SensorInput):
     def _decode_python(self, packet: bytes, host_stamp_ns: int) -> None:
         R = self.pixels_per_column
         pixel_bytes = 12
-        col_bytes = 16 + R * pixel_bytes + 4
-        if len(packet) < col_bytes * self.columns_per_packet:
+        rng19 = self.profile == 1
+        header = 32 if rng19 else 0
+        col_header = 12 if rng19 else 16
+        col_footer = 0 if rng19 else 4
+        col_bytes = col_header + R * pixel_bytes + col_footer
+        if len(packet) < header + col_bytes * self.columns_per_packet:
             return
         raw = np.frombuffer(packet, np.uint8)
         for c in range(self.columns_per_packet):
-            col = raw[c * col_bytes : (c + 1) * col_bytes]
-            status = col[-4:].view(np.uint32)[0]
-            if status != 0xFFFFFFFF:
-                continue
-            encoder = int(col[12:16].view(np.uint32)[0])
-            theta_enc = 2.0 * math.pi * (1.0 - encoder / ENCODER_TICKS_PER_REV)
-            px = col[16 : 16 + R * pixel_bytes].reshape(R, pixel_bytes)
-            range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & 0x000FFFFF
+            col = raw[header + c * col_bytes : header + (c + 1) * col_bytes]
+            if rng19:
+                status16 = int(col[10:12].copy().view(np.uint16)[0])
+                if not (status16 & 0x1):
+                    continue
+                m_id = int(col[8:10].copy().view(np.uint16)[0])
+                theta_enc = 2.0 * math.pi * (1.0 - m_id / self.columns_per_frame)
+            else:
+                status = col[-4:].view(np.uint32)[0]
+                if status != 0xFFFFFFFF:
+                    continue
+                encoder = int(col[12:16].view(np.uint32)[0])
+                theta_enc = 2.0 * math.pi * (1.0 - encoder / ENCODER_TICKS_PER_REV)
+            px = col[col_header : col_header + R * pixel_bytes].reshape(R, pixel_bytes)
+            mask = 0x0007FFFF if rng19 else 0x000FFFFF
+            range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & mask
             signal = px[:, 6:8].copy().view(np.uint16)[:, 0]
             valid = range_mm > 0
             r = range_mm.astype(np.float32) * 1e-3

@@ -33,7 +33,7 @@ int main(int argc, char** argv) {
   std::ifstream in(argv[1], std::ios::binary);
   std::ofstream out(argv[2], std::ios::binary);
 
-  int32_t num_rows, num_columns, F, stop_assoc, chessboard, nth;
+  int32_t num_rows, num_columns, F, stop_assoc, chessboard, nth, fog;
   float max_distance, ego[6];
   in.read(reinterpret_cast<char*>(&num_rows), 4);
   in.read(reinterpret_cast<char*>(&num_columns), 4);
@@ -42,6 +42,7 @@ int main(int argc, char** argv) {
   in.read(reinterpret_cast<char*>(&stop_assoc), 4);
   in.read(reinterpret_cast<char*>(&chessboard), 4);
   in.read(reinterpret_cast<char*>(&nth), 4);
+  in.read(reinterpret_cast<char*>(&fog), 4);
   in.read(reinterpret_cast<char*>(ego), 24);
 
   ContinuousClustering clustering;
@@ -52,6 +53,7 @@ int main(int argc, char** argv) {
   config.clustering.stop_after_association_enabled = stop_assoc != 0;
   config.clustering.ignore_points_in_chessboard_pattern = chessboard != 0;
   config.clustering.cluster_point_trees_every_nth_column = nth;
+  config.ground_segmentation.fog_filtering_enabled = fog != 0;
   config.ground_segmentation.height_ref_to_maximum_ = ego[0];
   config.ground_segmentation.height_ref_to_ground_ = ego[1];
   config.ground_segmentation.length_ref_to_front_end_ = ego[2];

@@ -46,6 +46,7 @@ def write_stream(
     chessboard: bool,
     ego=(0.5, -1.7, 3.0, -3.0, 1.5, -1.5),
     nth: int = 1,
+    fog: bool = False,
 ) -> None:
     num_rows = firings[0]["xyz"].shape[0]
     with open(path, "wb") as fh:
@@ -53,6 +54,7 @@ def write_stream(
         fh.write(struct.pack("<f", max_distance))
         fh.write(struct.pack("<ii", int(stop_after_association), int(chessboard)))
         fh.write(struct.pack("<i", int(nth)))
+        fh.write(struct.pack("<i", int(fog)))
         fh.write(struct.pack("<6f", *ego))
         for f, pose in zip(firings, poses):
             fh.write(np.asarray(pose, np.float64)[:3, :].tobytes())

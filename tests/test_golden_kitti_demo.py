@@ -48,10 +48,13 @@ def metric_lines(text: str):
 
 
 def test_kitti_demo_tables_match_reference(tmp_path):
+    """Identical evaluation tables vs the compiled reference kitti_demo over
+    a 10-frame synthetic 64x2200 sequence (reference eval config,
+    src/tools/kitti_demo.cpp:279-294)."""
     binary = build_demo(tmp_path)
 
     data = tmp_path / "data"
-    write_sequence(data, "00", num_frames=2, num_boxes=10, num_rows=64,
+    write_sequence(data, "00", num_frames=10, num_boxes=10, num_rows=64,
                    num_columns=2200, seed=5)
     from continuous_clustering_tpu.tools.gt_label_generator import main as gt_main
 

@@ -229,3 +229,90 @@ def test_python_oracle_matches_compiled_reference(harness, tmp_path):
     assert g_match >= 0.999, f"oracle ground agreement: {g_match}"
     agreement = partition_agreement(ref_labels, o_labels)
     assert agreement >= 0.99, f"oracle partition agreement: {agreement}"
+
+
+def test_pipeline_matches_reference_kitti_scale_fog(harness, tmp_path):
+    """Reference-shape golden: 64x2200, three revolutions crossing our ring
+    seam, translating sensor, fog filtering enabled (reference fog rules,
+    ground_segmentation fog_filtering_*).  The smaller goldens above run at
+    32x220; this one pins parity at the reference's own scale."""
+    import dataclasses
+
+    R, C = 64, 2200
+    scene = make_scene(num_boxes=24, seed=21, spread=35.0)
+    firings, poses = [], []
+    for f in range(3):
+        xyz, _ = raycast_frame(
+            scene, num_rows=R, num_columns=C,
+            sensor_origin=(1.5 * f, 0.0, 0.0), seed=21 + f,
+        )
+        xyz = xyz - np.array([1.5 * f, 0.0, 0.0], np.float32)
+        frame = frame_to_firings(xyz, frame_index=f)
+        for fi in frame:
+            fi["intensity"][:8] = 0  # induce fog candidates on the top rows
+        firings += frame
+        for c in range(C):
+            p = np.eye(4)
+            p[0, 3] = 1.5 * f + 1.5 * c / C
+            poses.append(p)
+
+    stream = tmp_path / "stream_big.bin"
+    runner.write_stream(
+        stream, firings, poses, C,
+        max_distance=0.5, stop_after_association=False, chessboard=False,
+        fog=True,
+    )
+    ref_labels, ref_ground = runner.run_golden(
+        harness, stream, tmp_path / "out_big.bin"
+    )
+    assert len(ref_labels) > 100_000
+
+    cfg = kitti_config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=C, ring_buffer_revolutions=2
+        ),
+        ground_segmentation=dataclasses.replace(
+            cfg.ground_segmentation, fog_filtering_enabled=True
+        ),
+        clustering=dataclasses.replace(
+            cfg.clustering, stop_after_association_enabled=False
+        ),
+    )
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    pipe = ContinuousClustering(cfg, firing_batch_size=256)
+    pipe.reset(R)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    labels, ground = {}, {}
+
+    def on_col(a, b, ground_only):
+        if ground_only:
+            return
+        cloud = pipe.get_columns(a, b)
+        valid = cloud["globally_unique_point_index"] != np.iinfo(np.uint64).max
+        for u, i, gl in zip(
+            cloud["globally_unique_point_index"][valid],
+            cloud["id"][valid],
+            cloud["ground_point_label"][valid],
+        ):
+            labels[int(u)] = int(i)
+            ground[int(u)] = int(gl)
+
+    pipe.set_finished_column_callback(on_col)
+    for f, p in zip(firings, poses):
+        pipe.add_firing(f, p)
+    pipe.flush()
+
+    common = set(ref_labels) & set(labels)
+    assert len(common) > 0.9 * len(ref_labels)
+    g_match = np.mean([ref_ground[k] == ground[k] for k in common])
+    assert g_match >= 0.999, f"kitti-scale ground agreement {g_match}"
+    # fog must actually have triggered, with the reference's enum value
+    n_fog_ref = sum(1 for k in common if ref_ground[k] == GP_FOG)
+    n_fog_ours = sum(1 for k in common if ground[k] == GP_FOG)
+    assert n_fog_ref > 100 and n_fog_ours > 100
+    agreement = partition_agreement(ref_labels, labels)
+    assert agreement >= 0.98, f"kitti-scale partition agreement {agreement}"

@@ -156,12 +156,13 @@ def test_velodyne_decode(use_native):
     assert f["xyz"][0, 2] > f["xyz"][-1, 2]
 
 
-def _ouster_packet(info, ranges_m):
+def _ouster_packet(info, ranges_m, encoder0=0):
     R = info["data_format"]["pixels_per_column"]
     cols = info["data_format"]["columns_per_packet"]
+    cpf = info["data_format"]["columns_per_frame"]
     out = b""
     for c in range(cols):
-        hdr = struct.pack("<QHHI", 12345, c, 0, int(c * 90112 / 1024))
+        hdr = struct.pack("<QHHI", 12345, c, 0, encoder0 + c * 90112 // cpf)
         body = b""
         for px in range(R):
             rng_mm = int(ranges_m * 1000)
@@ -288,3 +289,74 @@ def test_ouster_decode_offload_matches_inline():
     for a, b in zip(results[0], results[1]):
         np.testing.assert_array_equal(a["xyz"], b["xyz"])
         np.testing.assert_array_equal(a["stamp"], b["stamp"])
+
+
+def _ouster_rng19_packet(info, ranges_m, m_id=0):
+    """Synthetic RNG19_RFL8_SIG16_NIR16 single-return packet: 32-byte packet
+    header, per column a 12-byte header (ts u64, m_id u16, status u16 bit0)
+    and 12-byte pixels (range u32 19-bit, rfl u8, signal u16 @6, nir u16)."""
+    R = info["data_format"]["pixels_per_column"]
+    cols = info["data_format"]["columns_per_packet"]
+    ranges_m = np.broadcast_to(np.asarray(ranges_m, np.float64), (R,))
+    out = b"\x00" * 32
+    for c in range(cols):
+        out += struct.pack("<QHH", 1000 + c, (m_id + c) % info["data_format"]["columns_per_frame"], 1)
+        for r in range(R):
+            rng = int(round(ranges_m[r] * 1000.0)) & 0x0007FFFF
+            out += struct.pack("<IBBHHH", rng, 200, 0, 700, 55, 0)
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_ouster_rng19_decode(use_native):
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    info["data_format"]["udp_profile_lidar"] = "RNG19_RFL8_SIG16_NIR16"
+    dec = OusterInput(info, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_ouster_rng19_packet(info, 15.0), host_stamp_ns=42)
+    assert len(firings) == info["data_format"]["columns_per_packet"]
+    f = firings[0]
+    d = np.linalg.norm(f["xyz"], axis=1)
+    # |p| ~ range (beam-origin offset shifts it slightly)
+    assert np.all(np.abs(d - 15.0) < 0.1)
+    assert np.all(f["intensity"] == int(min(700, 1000) * 255 / 1000))
+
+
+def test_ouster_rng19_matches_legacy_geometry():
+    """The same scene encoded in both profiles must decode identically:
+    LEGACY encoder ticks are an exact multiple of the RNG19 measurement id
+    when ticks-per-column divides evenly."""
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info_l = json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    info_r = copy.deepcopy(info_l)
+    info_r["data_format"]["udp_profile_lidar"] = "RNG19_RFL8_SIG16_NIR16"
+    cols_per_frame = info_l["data_format"]["columns_per_frame"]
+    assert 90112 % cols_per_frame == 0
+    ticks_per_col = 90112 // cols_per_frame
+
+    m_id = 37
+    out = {}
+    for key, info, pkt in (
+        ("legacy", info_l, _ouster_packet(info_l, 12.5, encoder0=m_id * ticks_per_col)),
+        ("rng19", info_r, _ouster_rng19_packet(info_r, 12.5, m_id=m_id)),
+    ):
+        dec = OusterInput(info)
+        got = []
+        dec.add_on_new_firing_callback(lambda f: got.append(f))
+        dec.on_packet(pkt, host_stamp_ns=7)
+        out[key] = got
+    assert len(out["legacy"]) == len(out["rng19"]) > 0
+    for a, b in zip(out["legacy"], out["rng19"]):
+        np.testing.assert_allclose(a["xyz"], b["xyz"], rtol=2e-5, atol=2e-4)
