@@ -127,6 +127,17 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     mad = jnp.arcsin(max_d / distb)                       # (R, B)
     wp = jnp.minimum(jnp.ceil(mad / az_width).astype(jnp.int32), H)
 
+    from .cc_pallas import edge_bits_pallas, pallas_enabled
+
+    if pallas_enabled(B) and not cl.record_neighbor_stats:
+        # fused VMEM neighbor-search kernel (bit-identical to the stack
+        # formulation below; validated in tests/test_cc_pallas.py)
+        max_wp_k = jnp.max(jnp.where(active_b, wp, 0))
+        bits = edge_bits_pallas(
+            config, xw, yw, zw, incw, active_w, mad, wp, max_wp_k
+        )
+        return bits, active_w, wcols, lcols, mad, active_b, slot_h, None
+
     # padded window arrays for vertical shifts
     def vpad(arr, fill):
         return jnp.pad(arr, ((V, V), (0, 0)), constant_values=fill)

@@ -44,10 +44,15 @@ def pallas_enabled(B: int) -> bool:
         return False
     if mode == "1":
         return True
-    # auto: currently opt-in only — the sweep kernel does not yet lower
-    # through this environment's Mosaic version (dynamic rotate / unaligned
-    # slice restrictions); the XLA offset sweep is the default
-    return False
+    # auto: on TPU for VMEM-sized batches.  The kernel lowers since masks
+    # went i32 end-to-end (bool vectors hit Mosaic's "Invalid vector
+    # register cast" — scripts/pallas_bisect.py) and measured exactly equal
+    # outputs at ~3% lower step time than the unrolled XLA sweep.
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon") and B <= 512
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
@@ -141,4 +146,147 @@ def window_cc_pallas(config: Config, bits: jax.Array, active_w: jax.Array,
     R, WCOL = active_w.shape
     return cc_converge(
         lambda L: sweep_pallas(config, bits, L, max_wp), R, WCOL
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused edge-bits (wedge neighbor search) kernel.
+#
+# association._edge_bits materializes five (H+1, 2V+1, R, B) neighbor stacks
+# (~100+ MB of transients at bench shapes) to compute the per-(point, dc)
+# reachable-row bitmasks.  Here the five ring fields stay VMEM-resident as
+# (R+2V, PW) padded tiles; per column offset dc they are rotated ONCE along
+# the lane axis, and the 2V+1 row offsets read static row slices of the
+# rotated tiles while the walk's inclination prefix products accumulate in
+# registers.  The dc loop is a fori bounded by the batch's max wedge width,
+# so far-only scenes skip most offsets entirely.  Masks are i32 end-to-end
+# (bool vectors fail Mosaic lowering here — scripts/pallas_bisect.py).
+# ---------------------------------------------------------------------------
+
+
+def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
+                      max_d2: float,
+                      x_ref, y_ref, z_ref, inc_ref, act_ref,
+                      mad_ref, wp_ref, upper_ref,
+                      bits_ref,
+                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar):
+    n_dr = 2 * V + 1
+    PW = _padded_width(WCOL, H)
+    PR = R + 2 * V
+    nan = float("nan")
+
+    # vertically padded field tiles (payload columns at [H, H+WCOL))
+    for ref, src, fill in ((xp, x_ref, nan), (yp, y_ref, nan),
+                           (zp, z_ref, nan), (ip, inc_ref, nan)):
+        ref[:, :] = jnp.full((PR, PW), fill, jnp.float32)
+        ref[V : V + R, H : H + WCOL] = src[:, :]
+    ap[:, :] = jnp.zeros((PR, PW), jnp.int32)
+    ap[V : V + R, H : H + WCOL] = act_ref[:, :]
+
+    # batch-centered quantities (window cols [H, H+WCOL) -> batch at 2H..)
+    xb = xp[V : V + R, 2 * H : 2 * H + B]
+    yb = yp[V : V + R, 2 * H : 2 * H + B]
+    zb = zp[V : V + R, 2 * H : 2 * H + B]
+    incb = ip[V : V + R, 2 * H : 2 * H + B]
+    mad = mad_ref[:, :]
+    wp = wp_ref[:, :]
+
+    bits_ref[:, :, :, :] = jnp.zeros((H + 1, 2, R, B), jnp.int32)
+
+    def body(dc, _):
+        # one lane rotation per field per dc; row offsets then read static
+        # sublane slices of the rotated tiles
+        xr[:, :] = pltpu.roll(xp[:, :], dc, axis=1)
+        yr[:, :] = pltpu.roll(yp[:, :], dc, axis=1)
+        zr[:, :] = pltpu.roll(zp[:, :], dc, axis=1)
+        ir[:, :] = pltpu.roll(ip[:, :], dc, axis=1)
+        ar[:, :] = pltpu.roll(ap[:, :], dc, axis=1)
+
+        dgt = (dc > 0).astype(jnp.int32)  # scalar: down/dr0 need dc > 0
+        ab = ap[V : V + R, 2 * H : 2 * H + B]  # the point's own active bit
+        gate = (wp >= dc).astype(jnp.int32) * ab
+
+        def ok_at(i):
+            ninc = ir[i : i + R, 2 * H : 2 * H + B]
+            return 1 - (jnp.abs(ninc - incb) > mad).astype(jnp.int32)
+
+        def edge_at(i, reach):
+            nx = xr[i : i + R, 2 * H : 2 * H + B]
+            ny = yr[i : i + R, 2 * H : 2 * H + B]
+            nz = zr[i : i + R, 2 * H : 2 * H + B]
+            na = ar[i : i + R, 2 * H : 2 * H + B]
+            dx = nx - xb
+            dy = ny - yb
+            dz = nz - zb
+            close = (dx * dx + dy * dy + dz * dz < max_d2).astype(jnp.int32)
+            return reach * close * na * gate
+
+        ok0 = ok_at(V)
+        # the up walk starts at ok(-1) for dc == 0 and at ok(0) for dc > 0
+        ok0f = 1 - dgt * (1 - ok0)
+        w0 = jnp.zeros((R, B), jnp.int32)
+        w1 = jnp.zeros((R, B), jnp.int32)
+
+        # dr = 0 (never an edge in the first column, …cpp:712)
+        e0 = edge_at(V, ok0 * dgt)
+        if V < 32:
+            w0 = w0 | (e0 << V)
+        else:
+            w1 = w1 | (e0 << (V - 32))
+
+        up_acc = ok0f
+        for k in range(1, V + 1):
+            i = V - k
+            up_acc = up_acc * ok_at(i)
+            e = edge_at(i, up_acc)
+            if i < 32:
+                w0 = w0 | (e << i)
+            else:
+                w1 = w1 | (e << (i - 32))
+
+        dn_acc = dgt
+        for k in range(1, V + 1):
+            i = V + k
+            dn_acc = dn_acc * ok_at(i)
+            e = edge_at(i, dn_acc)
+            if i < 32:
+                w0 = w0 | (e << i)
+            else:
+                w1 = w1 | (e << (i - 32))
+
+        bits_ref[dc, 0] = w0
+        bits_ref[dc, 1] = w1
+        return 0
+
+    jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
+
+
+def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
+                     max_wp) -> jax.Array:
+    """Fused neighbor-search kernel: returns the (H+1, 2, R, B) edge
+    bitmasks, bit-identical to the XLA formulation in
+    ``association._edge_bits``."""
+    cl = config.clustering
+    H, V = cl.max_steps_in_row, cl.max_steps_in_column
+    R, WCOL = active_w.shape
+    B = WCOL - H
+    PW = _padded_width(WCOL, H)
+    PR = R + 2 * V
+    upper = jnp.minimum(max_wp, H) + 1
+    max_d2 = float(cl.max_distance) * float(cl.max_distance)
+
+    kernel = functools.partial(_edge_bits_kernel, H, V, R, B, WCOL, max_d2)
+    f32s = [pltpu.VMEM((PR, PW), jnp.float32) for _ in range(4)]
+    i32s = [pltpu.VMEM((PR, PW), jnp.int32)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H + 1, 2, R, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=f32s + i32s + f32s + i32s,  # pads + rotated copies
+        interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
+    )(
+        xw, yw, zw, incw, active_w.astype(jnp.int32),
+        mad, wp, jnp.asarray(upper, jnp.int32).reshape(1, 1),
     )

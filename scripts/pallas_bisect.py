@@ -153,8 +153,51 @@ def k4(bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
     out_ref[:, :] = lpad_ref[V : V + R, H : H + WCOL]
 
 
+# V5: f32 compare -> immediate i32 astype -> arithmetic select (the pattern
+# an edge-bits kernel needs; NaN must behave like the reference: no break)
+def k5(bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
+    lpad_ref[:, :] = jnp.full((R + 2 * V, PW), INF, jnp.int32)
+    lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
+
+    def body(dc, _):
+        cur = lpad_ref[V : V + R, H : H + WCOL]
+        f = cur.astype(jnp.float32)
+        bad = (jnp.abs(f - 3.0) > 1.5).astype(jnp.int32)
+        ok = 1 - bad
+        acc = ok
+        for k in range(3):  # running prefix product in registers
+            nb = pltpu.roll(lpad_ref[k : k + R, :], dc, axis=1)[:, H : H + WCOL]
+            okk = 1 - (jnp.abs(nb.astype(jnp.float32)) > 2.0).astype(jnp.int32)
+            acc = acc * okk
+            cur = jnp.minimum(cur, acc * nb + (1 - acc) * INF)
+        lpad_ref[V : V + R, H : H + WCOL] = cur
+        return 0
+
+    jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
+    out_ref[:, :] = lpad_ref[V : V + R, H : H + WCOL]
+
+
+# V6: bit packing (shift by static amount, accumulate words) + f32 scratch
+def k6(bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
+    lpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
+    lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
+
+    def body(dc, _):
+        w = jnp.zeros((R, WCOL), jnp.int32)
+        for k in range(3):
+            nb = pltpu.roll(lpad_ref[k : k + R, :], dc, axis=1)[:, H : H + WCOL]
+            bit = (jnp.abs(nb.astype(jnp.float32)) < 5.0).astype(jnp.int32)
+            w = w | (bit << k)
+        mpad_ref[V : V + R, H : H + WCOL] = w
+        return 0
+
+    jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
+    out_ref[:, :] = mpad_ref[V : V + R, H : H + WCOL]
+
+
 if __name__ == "__main__":
     for name, k in [("V0_init_copy", k0), ("V1_static_slice_roll", k1),
                     ("V2_dynamic_roll", k2), ("V3_bool_mask", k3),
-                    ("V3i_i32_mask", k3i), ("V4_mask_scratch", k4)]:
+                    ("V3i_i32_mask", k3i), ("V4_mask_scratch", k4),
+                    ("V5_cmp_astype_prefix", k5), ("V6_bitpack", k6)]:
         probe(name, k)
