@@ -735,19 +735,33 @@ def associate_and_complete(
 
     # ---- fold aggregates: demoted canonicals + batch contributions --------
     demote = state.slot_valid & (slot_parent != idxK)
-    tgtd = jnp.where(demote, slot_parent, K)
-    fin_t = state.slot_finish.at[tgtd].max(state.slot_finish, mode="drop")
-    gmin_t = state.slot_gmin.at[tgtd].min(state.slot_gmin, mode="drop")
-    gmax_t = state.slot_gmax.at[tgtd].max(state.slot_gmax, mode="drop")
-    cnt_t = state.slot_count.at[tgtd].add(
-        jnp.where(demote, state.slot_count, 0), mode="drop"
+
+    def fold_demoted(_):
+        tgtd = jnp.where(demote, slot_parent, K)
+        fin = state.slot_finish.at[tgtd].max(state.slot_finish, mode="drop")
+        gmin = state.slot_gmin.at[tgtd].min(state.slot_gmin, mode="drop")
+        gmax = state.slot_gmax.at[tgtd].max(state.slot_gmax, mode="drop")
+        cnt = state.slot_count.at[tgtd].add(
+            jnp.where(demote, state.slot_count, 0), mode="drop"
+        )
+        # demoted slots stay live (cells still reference them) but become
+        # identity-holding forwarders
+        return (
+            jnp.where(demote, neg_inf, fin),
+            jnp.where(demote, I32_MAX, gmin),
+            jnp.where(demote, -1, gmax),
+            jnp.where(demote, 0, cnt),
+        )
+
+    # merges are rare per batch; skip the four K-sized fold scatters when
+    # this batch demoted nothing
+    fin_t, gmin_t, gmax_t, cnt_t = jax.lax.cond(
+        jnp.any(demote),
+        fold_demoted,
+        lambda _: (state.slot_finish, state.slot_gmin, state.slot_gmax,
+                   state.slot_count),
+        0,
     )
-    # demoted slots stay live (cells still reference them) but become
-    # identity-holding forwarders
-    fin_t = jnp.where(demote, neg_inf, fin_t)
-    gmin_t = jnp.where(demote, I32_MAX, gmin_t)
-    gmax_t = jnp.where(demote, -1, gmax_t)
-    cnt_t = jnp.where(demote, 0, cnt_t)
     valid_t = state.slot_valid & ~demote
 
     tgt_new = jnp.where(need_new, new_slot_l, K)

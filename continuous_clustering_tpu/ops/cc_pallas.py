@@ -55,8 +55,9 @@ def pallas_enabled(B: int) -> bool:
     return platform in ("tpu", "axon") and B <= 512
 
 
-def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
-                  bits_ref, upper_ref, l_in_ref, out_ref, lpad_ref, mpad_ref):
+def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
+                  bits_ref, upper_ref, l_in_ref, out_ref, chg_ref,
+                  lpad_ref, mpad_ref, prev_ref):
     """One Gauss-Seidel sweep.
 
     Mosaic constraints shape the code: dynamic sublane-offset slices are
@@ -78,7 +79,7 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
     mpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
 
-    def body(dc, _):
+    def body(dc, _):  # one Gauss-Seidel pass over all (dc, dr) offsets
         w0 = bits_ref[dc, 0]  # (R, B) — dynamic leading index is fine
         w1 = bits_ref[dc, 1]
         for dr_idx in range(n_dr):  # static unroll over row offsets
@@ -107,32 +108,53 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int,
             lpad_ref[V : V + R, H : H + WCOL] = upd
         return 0
 
+    # multiple sweeps per launch: in-place propagation converges fast and
+    # every extra sweep avoids a pointer-jump gather + change-detect reduce
+    # at HBM scale outside the kernel (those measured as expensive as the
+    # sweep itself in the device trace)
+    for _ in range(n_sweeps - 1):
+        jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
+    prev_ref[V : V + R, H : H + WCOL] = lpad_ref[V : V + R, H : H + WCOL]
     jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
-    out_ref[:, :] = lpad_ref[V : V + R, H : H + WCOL]
+    out = lpad_ref[V : V + R, H : H + WCOL]
+    out_ref[:, :] = out
+    # fixpoint detection: did the LAST sweep change anything?
+    chg_ref[0, 0] = jnp.sum(
+        (out != prev_ref[V : V + R, H : H + WCOL]).astype(jnp.int32)
+    )
 
 
 def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
-                 max_wp: jax.Array) -> jax.Array:
-    """One full Gauss-Seidel sweep over all offsets on TPU."""
+                 max_wp: jax.Array, n_sweeps: int = 3):
+    """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
+    where changed counts label updates in the final sweep (0 = fixpoint)."""
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R, WCOL = L.shape
     B = WCOL - H
     upper = jnp.minimum(max_wp, H) + 1  # fori over dc; dr is unrolled
 
-    kernel = functools.partial(_sweep_kernel, H, V, R, B, WCOL)
+    kernel = functools.partial(_sweep_kernel, H, V, R, B, WCOL, n_sweeps)
+    PW = _padded_width(WCOL, H)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R, WCOL), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, WCOL), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bits
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),    # upper
             pl.BlockSpec(memory_space=pltpu.VMEM),            # labels in
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((R + 2 * V, _padded_width(WCOL, H)), jnp.int32),
-            pltpu.VMEM((R + 2 * V, _padded_width(WCOL, H)), jnp.int32),
+            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
+            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
+            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
         ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(bits, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)
@@ -140,13 +162,32 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
 
 def window_cc_pallas(config: Config, bits: jax.Array, active_w: jax.Array,
                      B: int, max_wp: jax.Array) -> jax.Array:
-    """Drop-in replacement for association._window_cc using the Pallas sweep."""
-    from .association import cc_converge
+    """Drop-in replacement for association._window_cc using the Pallas sweep.
 
+    Each round launches a multi-sweep kernel with an in-kernel fixpoint
+    flag; pointer jumping runs only while unconverged (it compresses label
+    chains if the in-place propagation stalls on snake-shaped components)."""
     R, WCOL = active_w.shape
-    return cc_converge(
-        lambda L: sweep_pallas(config, bits, L, max_wp), R, WCOL
-    )
+
+    def jump(L):
+        f = L.reshape(-1)
+        f = jnp.take(f, f)
+        return f.reshape(R, WCOL)
+
+    def cond(c):
+        L, changed, it = c
+        return changed & (it < 24)
+
+    def body(c):
+        L, _, it = c
+        L2, d = sweep_pallas(config, bits, L, max_wp)
+        changed = d[0, 0] > 0
+        L3 = jax.lax.cond(changed, jump, lambda l: l, L2)
+        return L3, changed, it + 1
+
+    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
+    L, _, _ = jax.lax.while_loop(cond, body, (wlid, jnp.asarray(True), 0))
+    return L
 
 
 # ---------------------------------------------------------------------------
