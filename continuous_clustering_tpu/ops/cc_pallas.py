@@ -57,7 +57,7 @@ def pallas_enabled(B: int) -> bool:
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
                   bits_ref, upper_ref, l_in_ref, out_ref, chg_ref,
-                  lpad_ref, mpad_ref, prev_ref):
+                  lpad_ref, mpad_ref, prev_ref, lroll_ref, lroll2_ref):
     """One Gauss-Seidel sweep.
 
     Mosaic constraints shape the code: dynamic sublane-offset slices are
@@ -79,7 +79,14 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
     mpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
 
-    def body(dc, _):  # one Gauss-Seidel pass over all (dc, dr) offsets
+    def body(dc, _):
+        # hoist the label rotations: the whole padded grid rotates ONCE per
+        # dc in each direction; row offsets then read static sublane slices
+        # (two big rolls per dc instead of two per (dc, dr)).  Reads within
+        # a dc iteration see the labels as of the dc's start (Jacobi within
+        # dc, Gauss-Seidel across dc) — same monotone fixpoint.
+        lroll_ref[:, :] = pltpu.roll(lpad_ref[:, :], dc, axis=1)
+        lroll2_ref[:, :] = pltpu.roll(lpad_ref[:, :], -dc, axis=1)
         w0 = bits_ref[dc, 0]  # (R, B) — dynamic leading index is fine
         w1 = bits_ref[dc, 1]
         for dr_idx in range(n_dr):  # static unroll over row offsets
@@ -93,14 +100,12 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
             cur = lpad_ref[V : V + R, H : H + WCOL]
 
             # pull-left: p pulls (r + dr, wc - dc)
-            a = lpad_ref[dr_idx : dr_idx + R, :]              # rows r + dr
-            nb = pltpu.roll(a, dc, axis=1)[:, H : H + WCOL]   # cols - dc
+            nb = lroll_ref[dr_idx : dr_idx + R, H : H + WCOL]
             upd = jnp.minimum(cur, mfull * nb + (1 - mfull) * INF)
 
             # pull-right: q pulls source p at (r - dr, wc + dc), gated on
             # p's mask bit (shifted from the mask scratch)
-            b = lpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
-            src = pltpu.roll(b, -dc, axis=1)[:, H : H + WCOL]
+            src = lroll2_ref[2 * V - dr_idx : 2 * V - dr_idx + R, H : H + WCOL]
             mrow = mpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
             ms = pltpu.roll(mrow, -dc, axis=1)[:, H : H + WCOL]
             upd = jnp.minimum(upd, ms * src + (1 - ms) * INF)
@@ -125,7 +130,9 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
 
 
 def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
-                 max_wp: jax.Array, n_sweeps: int = 3):
+                 max_wp: jax.Array, n_sweeps: int = None):
+    if n_sweeps is None:
+        n_sweeps = int(os.environ.get("CCT_SWEEPS", "2"))
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint)."""
     cl = config.clustering
@@ -152,9 +159,8 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
-            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
-            pltpu.VMEM((R + 2 * V, PW), jnp.int32),
+            pltpu.VMEM((R + 2 * V, PW), jnp.int32)
+            for _ in range(5)  # lpad, mpad, prev, lroll, lroll2
         ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(bits, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)

@@ -327,3 +327,21 @@ def test_flush_releases_held_finished_clusters():
         f"unemitted publishable ids: {sorted(set(must_emit) - set(emitted))}"
     )
     assert len(emitted) > 0
+
+
+def test_component_table_overflow_raises():
+    """Exhausting the component-slot table (max_active_components) must
+    surface as the overflow RuntimeError, like a too-small ring buffer —
+    never silent corruption."""
+    cfg = small_config(stop_after_association=False)
+    cfg = cfg.replace(
+        clustering=dataclasses.replace(cfg.clustering, max_active_components=4)
+    )
+    firings, poses = make_stream(num_frames=1, seed=1)
+    pipe = ContinuousClustering(cfg, firing_batch_size=64)
+    pipe.reset(NUM_ROWS)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    with pytest.raises(RuntimeError, match="overflow"):
+        for f, p in zip(firings, poses):
+            pipe.add_firing(f, p)
+        pipe.flush()
