@@ -232,6 +232,16 @@ def main(argv=None):
 
     ensure_backend()
     parser = CommandLineParser(argv if argv is not None else sys.argv[1:])
+    if parser.argument_exists("--help") or parser.argument_exists("-h"):
+        print(
+            "usage: kitti_demo <kitti_folder> [sequences...]\n"
+            "  --evaluate               run the OSE/USE + ground evaluation\n"
+            "  --evaluate-fast          evaluate with zero column delay\n"
+            "  --delay-between-columns N  pacing in microseconds (default 2000)\n"
+            "  --firing-batch N         firings per device batch (default 256)\n"
+            "  --rows N --columns N     range image shape (default 64x2200)"
+        )
+        return
     evaluate = parser.argument_exists("--evaluate")
     delay = int(parser.get_value_for_argument("--delay-between-columns", "2000"))
     firing_batch = int(parser.get_value_for_argument("--firing-batch", "256"))
