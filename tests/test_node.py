@@ -97,3 +97,32 @@ def test_stats_recording():
     assert "device_step" in s and s["device_step"]["count"] >= 1
     w = node.clustering.workload.summary()
     assert "fifo" in w
+
+
+def test_launch_tree_presets():
+    """The launch-file cascade analog (launch.py) composes runnable nodes
+    with the reference launch values (launch/demo_touareg.launch:20-31,
+    vehicle_touareg.launch:4-10, sensor_os32_*.launch fog preset)."""
+    from continuous_clustering_tpu import launch
+
+    descs = launch.demo_touareg()
+    assert [d.name for d in descs] == ["vls128_roof", "os32_left", "os32_right"]
+    vls = descs[0]
+    assert vls.config.range_image.num_columns == 1700
+    assert vls.config.ground_segmentation.height_ref_to_ground == -0.64
+    os32 = descs[1]
+    assert os32.config.range_image.num_columns == 1024
+    assert os32.config.ground_segmentation.fog_filtering_enabled
+    assert os32.config.ground_segmentation.fog_filtering_distance_below == 5.0
+    # per-sensor wiring
+    assert os32.raw_data_topic == "/bus/os32_left/lidar_packets"
+
+    node = launch.make_node(descs[1])
+    assert node.sensor_input.pixels_per_column == 32
+    assert node.config.range_image.num_columns == 1024
+
+    kitti = launch.demo_kitti_folder()
+    assert kitti.config.clustering.max_distance == 0.5
+    assert kitti.config.ground_segmentation.height_ref_to_ground == -1.7
+    n2 = launch.make_node(kitti)
+    assert n2.clustering is not None
