@@ -677,17 +677,14 @@ def associate_and_complete(
     ).reshape(-1)
     gw = jnp.broadcast_to(awcols[None, :], (R, WCOL)).reshape(-1)
 
-    blab = jnp.where(batchf, lab, n_wc)
     neg_inf = jnp.float32(-jnp.inf)
-    fin_l = jnp.full(n_wc, neg_inf).at[blab].max(fin_flat, mode="drop")
-    gmin_l = jnp.full(n_wc, I32_MAX, jnp.int32).at[blab].min(gw, mode="drop")
-    gmax_l = jnp.full(n_wc, -1, jnp.int32).at[blab].max(gw, mode="drop")
-    cnt_l = jnp.zeros(n_wc, jnp.int32).at[blab].add(1, mode="drop")
 
     # ---- allocate slots for brand-new components --------------------------
-    # a label without any slotted member consists purely of batch cells
+    # a label without any slotted member consists purely of batch cells —
+    # including its representative (the min member), so an active slotless
+    # rep *is* a batch member and no member count is needed here
     is_rep = activef & (lab == self_wl)
-    need_new = is_rep & (m0 >= SENT) & (cnt_l > 0)
+    need_new = is_rep & (m0 >= SENT)
     nn2d = need_new.reshape(R, WCOL).astype(jnp.int32)
     within = jnp.cumsum(nn2d, axis=0)                  # 2D rank (1D cumsum at
     ctot = within[-1]                                  # n_wc lowers poorly)
@@ -772,11 +769,15 @@ def associate_and_complete(
     ) % rc
     rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
 
-    tgt_l = jnp.where(cnt_l > 0, slot_of_label, K)
-    fin_t = fin_t.at[tgt_l].max(fin_l, mode="drop")
-    gmin_t = gmin_t.at[tgt_l].min(gmin_l, mode="drop")
-    gmax_t = gmax_t.at[tgt_l].max(gmax_l, mode="drop")
-    cnt_t = cnt_t.at[tgt_l].add(jnp.where(cnt_l > 0, cnt_l, 0), mode="drop")
+    # batch contributions scatter DIRECTLY into the K table keyed by each
+    # cell's final slot (one level of 27.9k-update scatters instead of a
+    # per-label reduce followed by a label->K scatter; commutative
+    # combiners make the two formulations identical)
+    cs_idx = jnp.where(cell_slot >= 0, cell_slot, K)
+    fin_t = fin_t.at[cs_idx].max(fin_flat, mode="drop")
+    gmin_t = gmin_t.at[cs_idx].min(gw, mode="drop")
+    gmax_t = gmax_t.at[cs_idx].max(gw, mode="drop")
+    cnt_t = cnt_t.at[cs_idx].add(jnp.where(batchf, 1, 0), mode="drop")
 
     # ---- completion (…cpp:837-974), all K-sized ---------------------------
     newest = jnp.maximum(newest_gcol, 0) % rc

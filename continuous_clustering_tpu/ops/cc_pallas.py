@@ -52,7 +52,7 @@ def pallas_enabled(B: int) -> bool:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         return False
-    return platform in ("tpu", "axon") and B <= 512
+    return platform in ("tpu", "axon") and B <= 768  # VMEM bound (~12 MB)
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
