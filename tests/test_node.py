@@ -1,8 +1,9 @@
 """ClusteringNode wiring: sensor -> tf sync -> pipeline -> publishers."""
 
 import numpy as np
+import pytest
 
-from continuous_clustering_tpu.config import Config
+from continuous_clustering_tpu.config import Config, kitti_config
 from continuous_clustering_tpu.evaluation.synthetic import (
     frame_to_firings,
     make_scene,
@@ -126,3 +127,66 @@ def test_launch_tree_presets():
     assert kitti.config.ground_segmentation.height_ref_to_ground == -1.7
     n2 = launch.make_node(kitti)
     assert n2.clustering is not None
+
+
+def test_node_raw_packets_to_clusters_with_decode_offload():
+    """Full ingress integration: raw Velodyne UDP packets -> decode-thread
+    offload -> firing assembly -> tf sync -> pipeline -> published columns
+    and clusters (reference chain ros_sensor_input.hpp -> addFiring).
+
+    The synthetic stream encodes one VLP-16 revolution with a box-shaped
+    range bump so at least one >20-point obstacle cluster must publish."""
+    import math
+    import struct
+
+    from continuous_clustering_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    def packet(az0_deg, dists):
+        # 12 blocks x 2 firings of 16 lasers; per-block azimuth step 0.4 deg
+        out = b""
+        for b in range(12):
+            az = (az0_deg + 0.4 * b) % 360.0
+            block = struct.pack("<HH", 0xEEFF, int(az * 100))
+            for ch in range(32):
+                d = dists[ch % 16]
+                block += struct.pack("<HB", int(d / 0.002), 90)
+            out += block
+        return out + b"\x00" * 6
+
+    cfg = kitti_config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=NUM_COLS, ring_buffer_revolutions=4
+        )
+    )
+    node = ClusteringNode(
+        config=cfg,
+        sensor_manufacturer="velodyne",
+        sensor_kwargs={"num_lasers": 16, "decode_threads": 1},
+        ego_robot_frame_from_sensor_frame=np.eye(4),
+        firing_batch_size=64,
+    )
+    cols, clusters = [], []
+    node.publish_instance_columns = lambda cloud: cols.append(len(cloud))
+    node.publish_cluster = lambda pts, stamp: clusters.append(len(pts))
+
+    flat = [25.0] * 16          # distant background
+    bump = [6.0] * 16           # a near object across all rows
+    t0 = 2_000_000_000
+    n_packets = 80              # 12 blocks x 2 firings x 0.2deg -> ~2 revs
+    for p in range(n_packets):
+        az0 = (p * 4.8) % 360.0
+        in_bump = 40.0 <= az0 <= 80.0
+        node.on_transform(t0 + p * 1_000_000 + 1, np.eye(4))
+        node.on_raw_data(
+            packet(az0, bump if in_bump else flat), t0 + p * 1_000_000
+        )
+    node.flush()
+
+    assert cols, "no instance columns published from raw packets"
+    assert clusters, "no clusters published from raw packets"
+    assert any(n > 20 for n in clusters)
+    assert node.sensor_input.pending_packets() == 0
