@@ -1,0 +1,82 @@
+"""Capture one traced revolution of the bench program and print a per-op
+device-time table (the reliable profiling method; see docs/ROUND2_NOTES.md).
+
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/trace_table.py
+"""
+
+import glob
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from continuous_clustering_tpu.tools import bench_setup
+
+bench_setup.enable_compile_cache()
+from continuous_clustering_tpu.utils.platform import ensure_backend  # noqa: E402
+
+ensure_backend()
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from continuous_clustering_tpu.models.throughput import (  # noqa: E402
+    make_block_scan_runner,
+)
+
+
+def main():
+    batch = int(os.environ.get("CCT_TRACE_BATCH", "384"))
+    cfg, pipe = bench_setup.make_bench_pipe(
+        num_rows=64, num_cols=2200, batch=batch, nth=1, ring_revs=10
+    )
+    firings, _ = bench_setup.make_bench_scene(64, 2200)
+    revs, hsg = bench_setup.prepare_rev_blocks(pipe, firings, 2, 2200)
+    runner = make_block_scan_runner(cfg, pipe._batch_B)
+    state = jax.tree_util.tree_map(
+        jnp.asarray, jax.tree_util.tree_map(np.asarray, pipe.state)
+    )
+    state, _ = runner(state, revs[0][0], revs[0][1], hsg)
+    int(np.asarray(state.first_unpublished))
+    logdir = "/tmp/cct_trace_table"
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    state, _ = runner(state, revs[1][0], revs[1][1], hsg)
+    int(np.asarray(state.first_unpublished))
+    jax.profiler.stop_trace()
+
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    path = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)[0]
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(path, "rb").read())
+    p = [pl for pl in xs.planes if pl.name == "/device:TPU:0"][0]
+    line = max(p.lines, key=lambda l: len(l.events))
+    agg = defaultdict(int)
+    meta_full = {}
+    for ev in line.events:
+        name = p.event_metadata[ev.metadata_id].name
+        key = name.split(" = ")[0]
+        agg[key] += ev.duration_ps
+        meta_full.setdefault(key, name)
+    steps = int(revs[0][0].gcol0.shape[0])
+    print(f"{steps} steps per revolution; top ops (ms/rev | src):")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        src = ""
+        full = meta_full[k]
+        if "source_line" in full:
+            pass
+        import re
+
+        m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', full)
+        if m:
+            src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
+        print(f"  {v/1e9:8.3f}  {k:22s} {src}")
+
+
+if __name__ == "__main__":
+    main()
