@@ -182,6 +182,18 @@ def main_with_fallback():
         for line in reversed(r.stdout.strip().splitlines()):
             if line.startswith("{"):
                 print(line)
+                if os.environ.get("CCT_BENCH_STAGES") == "1":
+                    # per-op device-time table to stderr (the stdout contract
+                    # stays one JSON line); see scripts/trace_table.py
+                    env2 = dict(os.environ)
+                    env2["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+                    t = subprocess.run(
+                        [sys.executable,
+                         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "scripts", "trace_table.py")],
+                        env=env2, capture_output=True, text=True, timeout=1500,
+                    )
+                    sys.stderr.write(t.stdout[-4000:])
                 return
         sys.stderr.write(
             f"bench tier (ring={ring}, batch={batch}) failed "
