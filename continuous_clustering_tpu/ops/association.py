@@ -703,7 +703,7 @@ def associate_and_complete(
     )
     new_slot_l = jnp.take(free_compact, jnp.clip(new_rank - 1, 0, K - 1))
 
-    # final slot per label position (valid where cnt_l > 0 or m0 < SENT)
+    # final slot per label position (valid where the label has members)
     slot_of_label = jnp.where(
         need_new,
         new_slot_l,
