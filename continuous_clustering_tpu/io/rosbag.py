@@ -1,0 +1,144 @@
+"""Minimal pure-Python ROS1 bag (format 2.0) reader — no ROS required.
+
+The reference's sensor-hardware-free workflow replays rosbags of raw UDP
+packets (`rosbag play`, reference README.md:111-135).  This reader covers
+that use case in a zero-ROS environment: iterate `(topic, datatype, stamp,
+raw_bytes)` for the packet topics and decode the two raw-packet message
+types the reference consumes:
+
+* ``velodyne_msgs/VelodyneScan`` — std_msgs/Header + VelodynePacket[]
+  (each: ros time + 1206 fixed bytes),
+* ``ouster_ros/PacketMsg`` — uint8[] buffer.
+
+Format per the public rosbag 2.0 spec: a ``#ROSBAG V2.0`` magic line, then
+length-prefixed records whose headers are ``len|name=value`` fields; chunk
+records (op=0x05) wrap connection/message records, compression ``none`` or
+``bz2`` (lz4 needs an external lib and raises).  Validated round-trip
+against the writer in tests/test_rosbag.py.
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from pathlib import Path
+from typing import Dict, Iterator, Tuple
+
+MAGIC = b"#ROSBAG V2.0\n"
+
+OP_MSG = 0x02
+OP_BAG_HEADER = 0x03
+OP_INDEX = 0x04
+OP_CHUNK = 0x05
+OP_CHUNK_INFO = 0x06
+OP_CONNECTION = 0x07
+
+
+def _parse_header(buf: bytes) -> Dict[bytes, bytes]:
+    fields = {}
+    off = 0
+    while off < len(buf):
+        (flen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        field = buf[off : off + flen]
+        off += flen
+        name, _, value = field.partition(b"=")
+        fields[name] = value
+    return fields
+
+
+def _records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+    n = len(buf)
+    while off < n:
+        (hlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        header = _parse_header(buf[off : off + hlen])
+        off += hlen
+        (dlen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        data = buf[off : off + dlen]
+        off += dlen
+        yield header, data
+
+
+class Connection:
+    def __init__(self, conn_id: int, topic: str, conn_header: bytes):
+        h = _parse_header(conn_header)
+        self.id = conn_id
+        self.topic = topic
+        self.datatype = h.get(b"type", b"").decode()
+        self.md5sum = h.get(b"md5sum", b"").decode()
+
+
+def read_messages(path) -> Iterator[Tuple[str, str, int, bytes]]:
+    """Yield (topic, datatype, stamp_ns, serialized_message) in bag order."""
+    raw = Path(path).read_bytes()
+    if not raw.startswith(MAGIC):
+        raise ValueError(f"{path}: not a ROSBAG V2.0 file")
+    connections: Dict[int, Connection] = {}
+
+    def handle(header: Dict[bytes, bytes], data: bytes):
+        op = header[b"op"][0]
+        if op == OP_CONNECTION:
+            (cid,) = struct.unpack("<I", header[b"conn"])
+            topic = header[b"topic"].decode()
+            connections[cid] = Connection(cid, topic, data)
+        elif op == OP_MSG:
+            (cid,) = struct.unpack("<I", header[b"conn"])
+            secs, nsecs = struct.unpack("<II", header[b"time"])
+            conn = connections[cid]
+            yield_list.append(
+                (conn.topic, conn.datatype, secs * 1_000_000_000 + nsecs, data)
+            )
+        elif op == OP_CHUNK:
+            compression = header.get(b"compression", b"none")
+            if compression == b"none":
+                payload = data
+            elif compression == b"bz2":
+                payload = bz2.decompress(data)
+            else:
+                raise ValueError(
+                    f"unsupported chunk compression: {compression.decode()}"
+                )
+            for h2, d2 in _records(payload):
+                handle(h2, d2)
+        # bag header / index / chunk info records are skipped
+
+    yield_list: list = []
+    for header, data in _records(raw, len(MAGIC)):
+        handle(header, data)
+        while yield_list:
+            yield yield_list.pop(0)
+
+
+# --------------------------------------------------------------------------
+# raw-packet message decoders (ROS1 serialization)
+# --------------------------------------------------------------------------
+
+def _read_string(buf: bytes, off: int) -> Tuple[str, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    return buf[off : off + n].decode(), off + n
+
+
+def decode_velodyne_scan(data: bytes):
+    """velodyne_msgs/VelodyneScan -> (header_stamp_ns, [(stamp_ns, packet)])."""
+    off = 4  # header.seq
+    secs, nsecs = struct.unpack_from("<II", data, off)
+    off += 8
+    _, off = _read_string(data, off)  # frame_id
+    (count,) = struct.unpack_from("<I", data, off)
+    off += 4
+    packets = []
+    for _ in range(count):
+        psec, pnsec = struct.unpack_from("<II", data, off)
+        off += 8
+        packets.append((psec * 1_000_000_000 + pnsec, data[off : off + 1206]))
+        off += 1206
+    return secs * 1_000_000_000 + nsecs, packets
+
+
+def decode_ouster_packet(data: bytes) -> bytes:
+    """ouster_ros/PacketMsg -> raw packet buffer."""
+    (n,) = struct.unpack_from("<I", data, 0)
+    return data[4 : 4 + n]
