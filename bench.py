@@ -116,6 +116,10 @@ def main():
                 for k in range(n_rev + 1)
             ]
             runner = make_block_scan_runner(cfg, pipe._batch_B)
+            # one dispatch per revolution: a single bigger scan would
+            # amortize host-link overhead further, but this tunnel's
+            # standalone-dispatch anomaly (docs/ROUND1_NOTES.md) makes any
+            # freshly-shaped big program ~1000x slower end to end
             state, _ = runner(state, revs[0][0], revs[0][1], hsg)
             int(np.asarray(state.first_unpublished))
             t0 = time.perf_counter()

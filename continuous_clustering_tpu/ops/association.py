@@ -133,10 +133,10 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
         # fused VMEM neighbor-search kernel (bit-identical to the stack
         # formulation below; validated in tests/test_cc_pallas.py)
         max_wp_k = jnp.max(jnp.where(active_b, wp, 0))
-        bits = edge_bits_pallas(
+        bits, brev = edge_bits_pallas(
             config, xw, yw, zw, incw, active_w, mad, wp, max_wp_k
         )
-        return bits, active_w, wcols, lcols, mad, active_b, slot_h, None
+        return bits, brev, active_w, wcols, lcols, mad, active_b, slot_h, None
 
     # padded window arrays for vertical shifts
     def vpad(arr, fill):
@@ -220,6 +220,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     w0 = jnp.sum(jnp.where(in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     w1 = jnp.sum(jnp.where(~in_w0 & edge, shifts, 0), axis=1).astype(jnp.int32)
     bits = jnp.stack([w0, w1], axis=1)  # (ND, 2, R, B)
+    brev = None  # XLA CC variants build their own reverse masks
 
     slotw = slot_h
     nbr_stats = None
@@ -261,7 +262,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
             active_b, visited + (degree << 16), 0
         ).astype(jnp.int32)
 
-    return bits, active_w, wcols, lcols, mad, active_b, slotw, nbr_stats
+    return bits, brev, active_w, wcols, lcols, mad, active_b, slotw, nbr_stats
 
 
 def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
@@ -540,9 +541,8 @@ def associate_and_complete(
     K = cl.max_active_components
     idxK = jnp.arange(K, dtype=jnp.int32)
 
-    bits, active_w, awcols, alcols, mad, active_b, slotw, nbr_stats = _edge_bits(
-        config, state, inputs, B
-    )
+    (bits, brev, active_w, awcols, alcols, mad, active_b, slotw,
+     nbr_stats) = _edge_bits(config, state, inputs, B)
     WCOL = H + B
     if profile_cut == "bits":
         return _cut_result(state, state.first_unpublished, (bits,))
@@ -572,8 +572,8 @@ def associate_and_complete(
         return "unrolled" if platform in ("tpu", "axon") else "vectorized"
 
     mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
-    if pallas_enabled(B):
-        Lw = window_cc_pallas(config, bits, active_w, B, max_wp)
+    if pallas_enabled(B) and brev is not None:
+        Lw = window_cc_pallas(config, bits, brev, active_w, B, max_wp)
     elif mode == "fori":
         Lw = _window_cc(config, bits, active_w, B, max_wp)
     elif mode == "unrolled":

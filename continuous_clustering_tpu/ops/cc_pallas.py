@@ -56,8 +56,8 @@ def pallas_enabled(B: int) -> bool:
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
-                  bits_ref, upper_ref, l_in_ref, out_ref, chg_ref,
-                  lpad_ref, mpad_ref, prev_ref, lroll_ref, lroll2_ref):
+                  bits_ref, brev_ref, upper_ref, l_in_ref, out_ref, chg_ref,
+                  lpad_ref, prev_ref, lroll_ref, lroll2_ref):
     """One Gauss-Seidel sweep.
 
     Mosaic constraints shape the code: dynamic sublane-offset slices are
@@ -77,7 +77,6 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
     # initialize padded scratches: INF/zero borders, payload in the center
     lpad_ref[:, :] = jnp.full((R + 2 * V, PW), INF, jnp.int32)
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
-    mpad_ref[:, :] = jnp.zeros((R + 2 * V, PW), jnp.int32)
 
     def body(dc, _):
         # hoist the label rotations: the whole padded grid rotates ONCE per
@@ -89,13 +88,14 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
         lroll2_ref[:, :] = pltpu.roll(lpad_ref[:, :], -dc, axis=1)
         w0 = bits_ref[dc, 0]  # (R, B) — dynamic leading index is fine
         w1 = bits_ref[dc, 1]
+        wr0 = brev_ref[dc, 0]  # (R, WCOL) pre-shifted reverse masks
+        wr1 = brev_ref[dc, 1]
         for dr_idx in range(n_dr):  # static unroll over row offsets
             word = w0 if dr_idx < 32 else w1
             mi = (word >> (dr_idx % 32)) & 1  # (R, B) i32 in {0, 1}
             mfull = jnp.concatenate(
                 [jnp.zeros((R, H), jnp.int32), mi], axis=1
             )  # (R, WCOL) source mask at batch columns
-            mpad_ref[V : V + R, 2 * H : 2 * H + B] = mi
 
             cur = lpad_ref[V : V + R, H : H + WCOL]
 
@@ -103,11 +103,11 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
             nb = lroll_ref[dr_idx : dr_idx + R, H : H + WCOL]
             upd = jnp.minimum(cur, mfull * nb + (1 - mfull) * INF)
 
-            # pull-right: q pulls source p at (r - dr, wc + dc), gated on
-            # p's mask bit (shifted from the mask scratch)
+            # pull-right: q pulls source p at (r - dr, wc + dc); the mask
+            # was pre-shifted to q positions by the edge-bits kernel
             src = lroll2_ref[2 * V - dr_idx : 2 * V - dr_idx + R, H : H + WCOL]
-            mrow = mpad_ref[2 * V - dr_idx : 2 * V - dr_idx + R, :]
-            ms = pltpu.roll(mrow, -dc, axis=1)[:, H : H + WCOL]
+            rword = wr0 if dr_idx < 32 else wr1
+            ms = (rword >> (dr_idx % 32)) & 1
             upd = jnp.minimum(upd, ms * src + (1 - ms) * INF)
 
             lpad_ref[V : V + R, H : H + WCOL] = upd
@@ -129,8 +129,8 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
     )
 
 
-def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
-                 max_wp: jax.Array, n_sweeps: int = None):
+def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
+                 L: jax.Array, max_wp: jax.Array, n_sweeps: int = None):
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
     With the hoisted label rotations, single sweeps per launch measured
@@ -153,6 +153,7 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bits
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # bits_rev
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),    # upper
             pl.BlockSpec(memory_space=pltpu.VMEM),            # labels in
         ],
@@ -162,14 +163,14 @@ def sweep_pallas(config: Config, bits: jax.Array, L: jax.Array,
         ),
         scratch_shapes=[
             pltpu.VMEM((R + 2 * V, PW), jnp.int32)
-            for _ in range(5)  # lpad, mpad, prev, lroll, lroll2
+            for _ in range(4)  # lpad, prev, lroll, lroll2
         ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
-    )(bits, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)
+    )(bits, brev, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)
 
 
-def window_cc_pallas(config: Config, bits: jax.Array, active_w: jax.Array,
-                     B: int, max_wp: jax.Array) -> jax.Array:
+def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
+                     active_w: jax.Array, B: int, max_wp: jax.Array) -> jax.Array:
     """Drop-in replacement for association._window_cc using the Pallas sweep.
 
     Each round launches a multi-sweep kernel with an in-kernel fixpoint
@@ -188,7 +189,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, active_w: jax.Array,
 
     def body(c):
         L, _, it = c
-        L2, d = sweep_pallas(config, bits, L, max_wp)
+        L2, d = sweep_pallas(config, bits, brev, L, max_wp)
         changed = d[0, 0] > 0
         # the HBM-scale jump gather (+ the cond's buffer churn) costs as
         # much as a sweep launch; compress chains only every third
@@ -222,8 +223,8 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
                       max_d2: float,
                       x_ref, y_ref, z_ref, inc_ref, act_ref,
                       mad_ref, wp_ref, upper_ref,
-                      bits_ref,
-                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar):
+                      bits_ref, brev_ref,
+                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar, r0, r1):
     n_dr = 2 * V + 1
     PW = _padded_width(WCOL, H)
     PR = R + 2 * V
@@ -246,6 +247,7 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
     wp = wp_ref[:, :]
 
     bits_ref[:, :, :, :] = jnp.zeros((H + 1, 2, R, B), jnp.int32)
+    brev_ref[:, :, :, :] = jnp.zeros((H + 1, 2, R, WCOL), jnp.int32)
 
     def body(dc, _):
         # one lane rotation per field per dc; row offsets then read static
@@ -259,6 +261,11 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         dgt = (dc > 0).astype(jnp.int32)  # scalar: down/dr0 need dc > 0
         ab = ap[V : V + R, 2 * H : 2 * H + B]  # the point's own active bit
         gate = (wp >= dc).astype(jnp.int32) * ab
+        # reverse-mask accumulators: bit dr at (q_r, q_wc) = forward edge of
+        # the source point (q_r - dr, q_wc + dc); built here so the CC sweep
+        # needs no per-(dc, dr) mask rolls at all
+        r0[:, :] = jnp.zeros((PR, PW), jnp.int32)
+        r1[:, :] = jnp.zeros((PR, PW), jnp.int32)
 
         def ok_at(i):
             ninc = ir[i : i + R, 2 * H : 2 * H + B]
@@ -281,35 +288,40 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         w0 = jnp.zeros((R, B), jnp.int32)
         w1 = jnp.zeros((R, B), jnp.int32)
 
+        def emit(i, e):
+            nonlocal w0, w1
+            if i < 32:
+                w0 = w0 | (e << i)
+                r0[i : i + R, 2 * H : 2 * H + B] = (
+                    r0[i : i + R, 2 * H : 2 * H + B] | (e << i)
+                )
+            else:
+                w1 = w1 | (e << (i - 32))
+                r1[i : i + R, 2 * H : 2 * H + B] = (
+                    r1[i : i + R, 2 * H : 2 * H + B] | (e << (i - 32))
+                )
+
         # dr = 0 (never an edge in the first column, …cpp:712)
-        e0 = edge_at(V, ok0 * dgt)
-        if V < 32:
-            w0 = w0 | (e0 << V)
-        else:
-            w1 = w1 | (e0 << (V - 32))
+        emit(V, edge_at(V, ok0 * dgt))
 
         up_acc = ok0f
         for k in range(1, V + 1):
             i = V - k
             up_acc = up_acc * ok_at(i)
-            e = edge_at(i, up_acc)
-            if i < 32:
-                w0 = w0 | (e << i)
-            else:
-                w1 = w1 | (e << (i - 32))
+            emit(i, edge_at(i, up_acc))
 
         dn_acc = dgt
         for k in range(1, V + 1):
             i = V + k
             dn_acc = dn_acc * ok_at(i)
-            e = edge_at(i, dn_acc)
-            if i < 32:
-                w0 = w0 | (e << i)
-            else:
-                w1 = w1 | (e << (i - 32))
+            emit(i, edge_at(i, dn_acc))
 
         bits_ref[dc, 0] = w0
         bits_ref[dc, 1] = w1
+        # reverse words: writes happened at cols [2H, 2H+B); the true q
+        # column is (b + H - dc), i.e. a roll by -dc
+        brev_ref[dc, 0] = pltpu.roll(r0[:, :], -dc, axis=1)[V : V + R, H : H + WCOL]
+        brev_ref[dc, 1] = pltpu.roll(r1[:, :], -dc, axis=1)[V : V + R, H : H + WCOL]
         return 0
 
     jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
@@ -317,9 +329,10 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
 
 def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
                      max_wp) -> jax.Array:
-    """Fused neighbor-search kernel: returns the (H+1, 2, R, B) edge
-    bitmasks, bit-identical to the XLA formulation in
-    ``association._edge_bits``."""
+    """Fused neighbor-search kernel: returns (bits, bits_rev) — the
+    (H+1, 2, R, B) forward edge bitmasks (bit-identical to the XLA
+    formulation in ``association._edge_bits``) plus the pre-shifted
+    (H+1, 2, R, WCOL) reverse masks the CC sweep's pull-right needs."""
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R, WCOL = active_w.shape
@@ -332,13 +345,20 @@ def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
     kernel = functools.partial(_edge_bits_kernel, H, V, R, B, WCOL, max_d2)
     f32s = [pltpu.VMEM((PR, PW), jnp.float32) for _ in range(4)]
     i32s = [pltpu.VMEM((PR, PW), jnp.int32)]
+    rev_acc = [pltpu.VMEM((PR, PW), jnp.int32) for _ in range(2)]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H + 1, 2, R, B), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((H + 1, 2, R, B), jnp.int32),
+            jax.ShapeDtypeStruct((H + 1, 2, R, WCOL), jnp.int32),
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
         + [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=f32s + i32s + f32s + i32s,  # pads + rotated copies
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=f32s + i32s + f32s + i32s + rev_acc,
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(
         xw, yw, zw, incw, active_w.astype(jnp.int32),
