@@ -761,9 +761,14 @@ def associate_and_complete(
     )
     valid_t = state.slot_valid & ~demote
 
+    # allocation flips live/valid from the FREE-SLOT side: the slots being
+    # allocated are exactly free_compact[0:n_new], so the scatter runs over
+    # K lanes instead of the window's 27.9k (the rep write below still needs
+    # the per-label values and keeps the window-sourced scatter)
+    alloc_idx = jnp.where(idxK < jnp.minimum(n_new, n_free), free_compact, K)
+    live_t = state.slot_live.at[alloc_idx].set(True, mode="drop")
+    valid_t = valid_t.at[alloc_idx].set(True, mode="drop")
     tgt_new = jnp.where(need_new, new_slot_l, K)
-    live_t = state.slot_live.at[tgt_new].set(True, mode="drop")
-    valid_t = valid_t.at[tgt_new].set(True, mode="drop")
     rep_glid = (self_wl // WCOL) * rc + (
         inputs.gcol0 - H + self_wl % WCOL
     ) % rc
