@@ -119,6 +119,31 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     )
     active_w = (gcolw == wcols[None, :]) & ~ignw & ~frozw & col_ok  # (R, WCOL)
 
+    # initial CC labels: halo cells that already share a component (same
+    # resolved slot) start pre-merged at the component's minimum halo wlid,
+    # so the sweep only has to claim the NEW batch cells instead of
+    # re-deriving every existing component from scratch each batch
+    K_ = cl.max_active_components
+    ah = active_w[:, :H] & (slot_h >= 0)
+    wlid_h = (
+        jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
+        + jnp.arange(H, dtype=jnp.int32)[None, :]
+    )
+    m_slot = (
+        jnp.full(K_, R * WCOL, jnp.int32)
+        .at[jnp.where(ah, slot_res, K_)]
+        .min(wlid_h, mode="drop")
+    )
+    pre = jnp.take(m_slot, jnp.clip(slot_res, 0, K_ - 1))
+    L0 = jnp.concatenate(
+        [
+            jnp.where(ah, jnp.minimum(pre, wlid_h), wlid_h),
+            jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
+            + jnp.arange(H, WCOL, dtype=jnp.int32)[None, :],
+        ],
+        axis=1,
+    )
+
     # batch-point quantities
     xb, yb, zb = xw[:, H:], yw[:, H:], zw[:, H:]
     incb = incw[:, H:]
@@ -136,7 +161,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
         bits, brev = edge_bits_pallas(
             config, xw, yw, zw, incw, active_w, mad, wp, max_wp_k
         )
-        return bits, brev, active_w, wcols, lcols, mad, active_b, slot_h, None
+        return bits, brev, L0, active_w, wcols, lcols, mad, active_b, slot_h, None
 
     # padded window arrays for vertical shifts
     def vpad(arr, fill):
@@ -262,13 +287,18 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
             active_b, visited + (degree << 16), 0
         ).astype(jnp.int32)
 
-    return bits, brev, active_w, wcols, lcols, mad, active_b, slotw, nbr_stats
+    return bits, brev, L0, active_w, wcols, lcols, mad, active_b, slotw, nbr_stats
 
 
-def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
+def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
+                L0=None) -> jax.Array:
     """Shared CC driver: alternate a sweep with pointer-jump compression
-    until the labels are stable."""
+    until the labels are stable.  ``L0`` optionally seeds the labels (must
+    be component-consistent: L0[i] = wlid of some cell in i's component,
+    <= wlid[i]); the fixpoint is the same per-component minimum wlid."""
     wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
+    if L0 is not None:
+        wlid = L0
 
     def jump(L):
         f = L.reshape(-1)
@@ -289,7 +319,7 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64) -> jax.Array:
     return L
 
 
-def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array,
+def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array, L0,
                           B: int, max_wp: jax.Array) -> jax.Array:
     """Vectorized min-label diffusion: each round is ONE big gather over all
     (offset, cell) pairs plus a min-reduce over the offset axis, instead of
@@ -335,10 +365,10 @@ def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array,
         pull = jnp.minimum(jnp.min(gl, axis=0), jnp.min(gr, axis=0))
         return jnp.minimum(L, pull)
 
-    return cc_converge(sweep, R, WCOL)
+    return cc_converge(sweep, R, WCOL, L0=L0)
 
 
-def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array,
+def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array, L0,
                         B: int, max_wp: jax.Array) -> jax.Array:
     """Shift-stencil sweep with statically unrolled offsets.
 
@@ -387,10 +417,10 @@ def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array,
                 i += 1
         return out
 
-    return cc_converge(sweep, R, WCOL)
+    return cc_converge(sweep, R, WCOL, L0=L0)
 
 
-def _window_cc_stacked(config: Config, bits: jax.Array, active_w: jax.Array,
+def _window_cc_stacked(config: Config, bits: jax.Array, active_w: jax.Array, L0,
                        B: int, max_wp: jax.Array) -> jax.Array:
     """Row-stacked shift-stencil sweep (TPU default).
 
@@ -440,11 +470,11 @@ def _window_cc_stacked(config: Config, bits: jax.Array, active_w: jax.Array,
             out = jnp.minimum(out, jnp.min(jnp.where(maskR[dc], src, inf), axis=0))
         return out
 
-    return cc_converge(sweep, R, WCOL)
+    return cc_converge(sweep, R, WCOL, L0=L0)
 
 
-def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
-               max_wp: jax.Array) -> jax.Array:
+def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, L0,
+               B: int, max_wp: jax.Array) -> jax.Array:
     """Min-label diffusion + pointer jumping over the window graph.
 
     Returns converged window-local labels (R, WCOL) where label = flat window
@@ -491,7 +521,7 @@ def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, B: int,
         _, L = jax.lax.while_loop(cond, body, (jnp.int32(0), L))
         return L
 
-    return cc_converge(sweep, R, WCOL)
+    return cc_converge(sweep, R, WCOL, L0=L0)
 
 
 class CompleteResult(NamedTuple):
@@ -541,7 +571,7 @@ def associate_and_complete(
     K = cl.max_active_components
     idxK = jnp.arange(K, dtype=jnp.int32)
 
-    (bits, brev, active_w, awcols, alcols, mad, active_b, slotw,
+    (bits, brev, L0, active_w, awcols, alcols, mad, active_b, slotw,
      nbr_stats) = _edge_bits(config, state, inputs, B)
     WCOL = H + B
     if profile_cut == "bits":
@@ -573,15 +603,15 @@ def associate_and_complete(
 
     mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
     if pallas_enabled(B) and brev is not None:
-        Lw = window_cc_pallas(config, bits, brev, active_w, B, max_wp)
+        Lw = window_cc_pallas(config, bits, brev, active_w, L0, B, max_wp)
     elif mode == "fori":
-        Lw = _window_cc(config, bits, active_w, B, max_wp)
+        Lw = _window_cc(config, bits, active_w, L0, B, max_wp)
     elif mode == "unrolled":
-        Lw = _window_cc_unrolled(config, bits, active_w, B, max_wp)
+        Lw = _window_cc_unrolled(config, bits, active_w, L0, B, max_wp)
     elif mode == "stacked":
-        Lw = _window_cc_stacked(config, bits, active_w, B, max_wp)
+        Lw = _window_cc_stacked(config, bits, active_w, L0, B, max_wp)
     else:
-        Lw = _window_cc_vectorized(config, bits, active_w, B, max_wp)
+        Lw = _window_cc_vectorized(config, bits, active_w, L0, B, max_wp)
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
 

@@ -170,7 +170,8 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
 
 
 def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
-                     active_w: jax.Array, B: int, max_wp: jax.Array) -> jax.Array:
+                     active_w: jax.Array, L0: jax.Array, B: int,
+                     max_wp: jax.Array) -> jax.Array:
     """Drop-in replacement for association._window_cc using the Pallas sweep.
 
     Each round launches a multi-sweep kernel with an in-kernel fixpoint
@@ -199,8 +200,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         )
         return L3, changed, it + 1
 
-    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
-    L, _, _ = jax.lax.while_loop(cond, body, (wlid, jnp.asarray(True), 0))
+    L, _, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
     return L
 
 
