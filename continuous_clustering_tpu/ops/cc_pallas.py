@@ -56,7 +56,8 @@ def pallas_enabled(B: int) -> bool:
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
-                  bits_ref, brev_ref, upper_ref, l_in_ref, out_ref, chg_ref,
+                  bits_ref, brev_ref, upper_ref, occ_ref, l_in_ref,
+                  out_ref, chg_ref,
                   lpad_ref, prev_ref, lroll_ref, lroll2_ref):
     """One Gauss-Seidel sweep.
 
@@ -90,27 +91,42 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
         w1 = bits_ref[dc, 1]
         wr0 = brev_ref[dc, 0]  # (R, WCOL) pre-shifted reverse masks
         wr1 = brev_ref[dc, 1]
+        # per-bit occupancy (bitwise-OR over the batch, computed once per
+        # batch in XLA): most vertical offsets carry no edges at all — the
+        # inclination break usually stops within a few rows — so each dr's
+        # work is guarded by a scalar bit test.  Forward and reverse
+        # occupancy are identical (every edge appears in both directions).
+        occ0 = occ_ref[dc, 0]
+        occ1 = occ_ref[dc, 1]
+
         for dr_idx in range(n_dr):  # static unroll over row offsets
             word = w0 if dr_idx < 32 else w1
-            mi = (word >> (dr_idx % 32)) & 1  # (R, B) i32 in {0, 1}
-            mfull = jnp.concatenate(
-                [jnp.zeros((R, H), jnp.int32), mi], axis=1
-            )  # (R, WCOL) source mask at batch columns
+            occ = occ0 if dr_idx < 32 else occ1
 
-            cur = lpad_ref[V : V + R, H : H + WCOL]
+            def dr_work():
+                mi = (word >> (dr_idx % 32)) & 1  # (R, B) i32 in {0, 1}
+                mfull = jnp.concatenate(
+                    [jnp.zeros((R, H), jnp.int32), mi], axis=1
+                )  # (R, WCOL) source mask at batch columns
 
-            # pull-left: p pulls (r + dr, wc - dc)
-            nb = lroll_ref[dr_idx : dr_idx + R, H : H + WCOL]
-            upd = jnp.minimum(cur, mfull * nb + (1 - mfull) * INF)
+                cur = lpad_ref[V : V + R, H : H + WCOL]
 
-            # pull-right: q pulls source p at (r - dr, wc + dc); the mask
-            # was pre-shifted to q positions by the edge-bits kernel
-            src = lroll2_ref[2 * V - dr_idx : 2 * V - dr_idx + R, H : H + WCOL]
-            rword = wr0 if dr_idx < 32 else wr1
-            ms = (rword >> (dr_idx % 32)) & 1
-            upd = jnp.minimum(upd, ms * src + (1 - ms) * INF)
+                # pull-left: p pulls (r + dr, wc - dc)
+                nb = lroll_ref[dr_idx : dr_idx + R, H : H + WCOL]
+                upd = jnp.minimum(cur, mfull * nb + (1 - mfull) * INF)
 
-            lpad_ref[V : V + R, H : H + WCOL] = upd
+                # pull-right: q pulls source p at (r - dr, wc + dc); the
+                # mask was pre-shifted by the edge-bits kernel
+                src = lroll2_ref[
+                    2 * V - dr_idx : 2 * V - dr_idx + R, H : H + WCOL
+                ]
+                rword = wr0 if dr_idx < 32 else wr1
+                ms = (rword >> (dr_idx % 32)) & 1
+                upd = jnp.minimum(upd, ms * src + (1 - ms) * INF)
+
+                lpad_ref[V : V + R, H : H + WCOL] = upd
+
+            pl.when(((occ >> (dr_idx % 32)) & 1) == 1)(dr_work)
         return 0
 
     # multiple sweeps per launch: in-place propagation converges fast and
@@ -130,7 +146,8 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
 
 
 def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
-                 L: jax.Array, max_wp: jax.Array, n_sweeps: int = None):
+                 occ: jax.Array, L: jax.Array, max_wp: jax.Array,
+                 n_sweeps: int = None):
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
     With the hoisted label rotations, single sweeps per launch measured
@@ -155,6 +172,7 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bits
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bits_rev
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),    # upper
+            pl.BlockSpec((H + 1, 2), memory_space=pltpu.SMEM),  # occupancy
             pl.BlockSpec(memory_space=pltpu.VMEM),            # labels in
         ],
         out_specs=(
@@ -166,12 +184,13 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
             for _ in range(4)  # lpad, prev, lroll, lroll2
         ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
-    )(bits, brev, jnp.asarray(upper, jnp.int32).reshape(1, 1), L)
+    )(bits, brev, jnp.asarray(upper, jnp.int32).reshape(1, 1), occ, L)
 
 
 def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
                      active_w: jax.Array, L0: jax.Array, B: int,
                      max_wp: jax.Array) -> jax.Array:
+    import numpy as _np
     """Drop-in replacement for association._window_cc using the Pallas sweep.
 
     Each round launches a multi-sweep kernel with an in-kernel fixpoint
@@ -188,9 +207,14 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         L, changed, it = c
         return changed & (it < 24)
 
+    # per-(dc, word) bit occupancy over the whole batch
+    occ = jax.lax.reduce(
+        bits, _np.int32(0), jax.lax.bitwise_or, (2, 3)
+    )
+
     def body(c):
         L, _, it = c
-        L2, d = sweep_pallas(config, bits, brev, L, max_wp)
+        L2, d = sweep_pallas(config, bits, brev, occ, L, max_wp)
         changed = d[0, 0] > 0
         # the HBM-scale jump gather (+ the cond's buffer churn) costs as
         # much as a sweep launch; compress chains only every third
