@@ -702,10 +702,6 @@ def associate_and_complete(
     lc0b = inputs.gcol0 % rc
     caz_b = ring_read(state.cont_az, lc0b, B)          # (R, B)
     finish_b = caz_b + mad
-    fin_flat = jnp.concatenate(
-        [jnp.zeros((R, H), jnp.float32), finish_b], axis=1
-    ).reshape(-1)
-    gw = jnp.broadcast_to(awcols[None, :], (R, WCOL)).reshape(-1)
 
     neg_inf = jnp.float32(-jnp.inf)
 
@@ -805,14 +801,17 @@ def associate_and_complete(
     rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
 
     # batch contributions scatter DIRECTLY into the K table keyed by each
-    # cell's final slot (one level of 27.9k-update scatters instead of a
+    # cell's final slot (one level of batch-sized scatters instead of a
     # per-label reduce followed by a label->K scatter; commutative
-    # combiners make the two formulations identical)
-    cs_idx = jnp.where(cell_slot >= 0, cell_slot, K)
-    fin_t = fin_t.at[cs_idx].max(fin_flat, mode="drop")
-    gmin_t = gmin_t.at[cs_idx].min(gw, mode="drop")
-    gmax_t = gmax_t.at[cs_idx].max(gw, mode="drop")
-    cnt_t = cnt_t.at[cs_idx].add(jnp.where(batchf, 1, 0), mode="drop")
+    # combiners make the two formulations identical).  Sources are sliced
+    # to the batch region — halo lanes never contribute.
+    cs_b = cell_slot.reshape(R, WCOL)[:, H:].reshape(-1)
+    cs_idx = jnp.where(cs_b >= 0, cs_b, K)
+    gw_b = jnp.broadcast_to(awcols[None, H:], (R, B)).reshape(-1)
+    fin_t = fin_t.at[cs_idx].max(finish_b.reshape(-1), mode="drop")
+    gmin_t = gmin_t.at[cs_idx].min(gw_b, mode="drop")
+    gmax_t = gmax_t.at[cs_idx].max(gw_b, mode="drop")
+    cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
 
     # ---- completion (…cpp:837-974), all K-sized ---------------------------
     newest = jnp.maximum(newest_gcol, 0) % rc

@@ -248,7 +248,8 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
                       x_ref, y_ref, z_ref, inc_ref, act_ref,
                       mad_ref, wp_ref, upper_ref,
                       bits_ref, brev_ref,
-                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar, r0, r1):
+                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar, r0, r1,
+                      w0_ref, w1_ref):
     n_dr = 2 * V + 1
     PW = _padded_width(WCOL, H)
     PR = R + 2 * V
@@ -290,6 +291,8 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         # needs no per-(dc, dr) mask rolls at all
         r0[:, :] = jnp.zeros((PR, PW), jnp.int32)
         r1[:, :] = jnp.zeros((PR, PW), jnp.int32)
+        w0_ref[:, :] = jnp.zeros((R, B), jnp.int32)
+        w1_ref[:, :] = jnp.zeros((R, B), jnp.int32)
 
         def ok_at(i):
             ninc = ir[i : i + R, 2 * H : 2 * H + B]
@@ -309,18 +312,17 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         ok0 = ok_at(V)
         # the up walk starts at ok(-1) for dc == 0 and at ok(0) for dc > 0
         ok0f = 1 - dgt * (1 - ok0)
-        w0 = jnp.zeros((R, B), jnp.int32)
-        w1 = jnp.zeros((R, B), jnp.int32)
 
         def emit(i, e):
-            nonlocal w0, w1
+            # scratch-ref accumulation (NOT python rebinding): emits happen
+            # inside pl.when blocks, whose effects persist only through refs
             if i < 32:
-                w0 = w0 | (e << i)
+                w0_ref[:, :] = w0_ref[:, :] | (e << i)
                 r0[i : i + R, 2 * H : 2 * H + B] = (
                     r0[i : i + R, 2 * H : 2 * H + B] | (e << i)
                 )
             else:
-                w1 = w1 | (e << (i - 32))
+                w1_ref[:, :] = w1_ref[:, :] | (e << (i - 32))
                 r1[i : i + R, 2 * H : 2 * H + B] = (
                     r1[i : i + R, 2 * H : 2 * H + B] | (e << (i - 32))
                 )
@@ -340,8 +342,8 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
             dn_acc = dn_acc * ok_at(i)
             emit(i, edge_at(i, dn_acc))
 
-        bits_ref[dc, 0] = w0
-        bits_ref[dc, 1] = w1
+        bits_ref[dc, 0] = w0_ref[:, :]
+        bits_ref[dc, 1] = w1_ref[:, :]
         # reverse words: writes happened at cols [2H, 2H+B); the true q
         # column is (b + H - dc), i.e. a roll by -dc
         brev_ref[dc, 0] = pltpu.roll(r0[:, :], -dc, axis=1)[V : V + R, H : H + WCOL]
@@ -370,6 +372,7 @@ def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
     f32s = [pltpu.VMEM((PR, PW), jnp.float32) for _ in range(4)]
     i32s = [pltpu.VMEM((PR, PW), jnp.int32)]
     rev_acc = [pltpu.VMEM((PR, PW), jnp.int32) for _ in range(2)]
+    word_acc = [pltpu.VMEM((R, B), jnp.int32) for _ in range(2)]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -382,7 +385,7 @@ def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=f32s + i32s + f32s + i32s + rev_acc,
+        scratch_shapes=f32s + i32s + f32s + i32s + rev_acc + word_acc,
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(
         xw, yw, zw, incw, active_w.astype(jnp.int32),
