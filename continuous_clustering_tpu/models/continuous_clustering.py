@@ -119,6 +119,13 @@ class ContinuousClustering:
         self._pending_infos = []
         self._last_pose = np.eye(4)
         self._last_ncols = 0
+        # publish-slab cache: (lo_gcol, hi_gcol, device_array) of the last
+        # consumed step's packed readout; get_columns within [lo, hi) is
+        # served from it with zero extra device dispatches
+        self._slab = None
+        self._slab_np = None
+        # observability for the zero-dispatch-emission guarantee (tested)
+        self.n_fetch_dispatches = 0
         self._build_jits()
 
     def _build_jits(self) -> None:
@@ -126,29 +133,52 @@ class ContinuousClustering:
         # column capacity per step: firings per batch + slack for uneven
         # column completion at stream start
         self._batch_B = self._batch_F + 32
-        # the completion live window (num_cols + B + 2H + nth-1) must fit the
-        # ring; aliased window columns would silently corrupt state
+        # the completion live window must fit the ring; aliased window
+        # columns would silently corrupt state.  The publish frontier can lag
+        # the head by num_cols + 2*nth columns (one-round publish hold at nth
+        # cadence + nth detection delay — docs/ROUND2_NOTES.md "frontier
+        # lag"), so the worst-case live span is num_cols + 2*nth + batch +
+        # halo; undersized rings previously surfaced only as a mid-stream
+        # overflow RuntimeError.
         nth = cfg.clustering.cluster_point_trees_every_nth_column
         win = (
             cfg.range_image.num_columns
             + self._batch_B
             + 2 * cfg.clustering.max_steps_in_row
-            + (nth - 1 if nth > 1 else 0)
+            + (2 * nth if nth > 1 else 0)
         )
         if win > cfg.ring_buffer_max_columns:
             raise ValueError(
                 f"ring buffer too small: {cfg.ring_buffer_max_columns} columns "
-                f"< live window {win} (num_columns + firing_batch_size + 32 + "
-                f"2*max_steps_in_row + nth-1). Increase ring_buffer_revolutions, "
-                f"or reduce the firing batch size or "
-                f"cluster_point_trees_every_nth_column."
+                f"< worst-case live window {win} (num_columns + "
+                f"firing_batch_size + 32 + 2*max_steps_in_row + 2*nth). "
+                f"Increase ring_buffer_revolutions, or reduce the firing "
+                f"batch size or cluster_point_trees_every_nth_column."
             )
+        # publish-slab width: static columns of packed readout riding every
+        # step's outputs (emission costs zero extra dispatches while the
+        # publish window fits; larger windows fall back to an on-demand
+        # fetch).  CCT_SLAB_W: <0 disables, >0 overrides, 0/unset = auto.
+        w_env = int(os.environ.get("CCT_SLAB_W", "0"))
+        rc = cfg.ring_buffer_max_columns
+        if w_env < 0:
+            self._slab_W = 0
+        elif w_env > 0:
+            self._slab_W = min(w_env, rc)
+        else:
+            self._slab_W = min(1 << (2 * self._batch_B - 1).bit_length(), rc)
         self._jit_step = jax.jit(
-            partial(pipeline_step, cfg, batch_cols=self._batch_B),
+            partial(
+                pipeline_step, cfg, batch_cols=self._batch_B,
+                slab_cols=self._slab_W,
+            ),
             donate_argnums=(0,),
         )
         self._jit_block_step = jax.jit(
-            partial(pipeline_step_block, cfg, batch_cols=self._batch_B),
+            partial(
+                pipeline_step_block, cfg, batch_cols=self._batch_B,
+                slab_cols=self._slab_W,
+            ),
             donate_argnums=(0,),
         )
 
@@ -389,6 +419,15 @@ class ContinuousClustering:
         self._h_cluster_counter = counter_old + num_new
         self._h_first_unpublished = fu_new
 
+        # cache this step's publish slab: all readout below (ground columns,
+        # published columns, cluster emission) is served from it as long as
+        # the publish window fits its static width
+        if self._slab_W and fu_old >= 0:
+            hi = gcol0 + n_cols if n_cols > 0 else fu_new
+            hi = max(hi, fu_new)
+            self._slab = (fu_old, min(fu_old + self._slab_W, hi), info.slab)
+            self._slab_np = None
+
         if n_cols > 0 and self.finished_column_callback:
             self.finished_column_callback(gcol0, gcol0 + n_cols - 1, True)
         if num_new > 0 and self.finished_cluster_callback:
@@ -435,21 +474,25 @@ class ContinuousClustering:
             self._h_origin_rot += delta
 
     # ---------------------------------------------------------------- access
-    _FETCH_F32 = ("x", "y", "z", "distance", "azimuth", "inclination",
-                  "cont_az", "finish_az")
-    _FETCH_U32 = ("stamp_lo", "stamp_hi", "uidx_lo", "uidx_hi")
-    _FETCH_I32 = ("gcol", "firing_index", "intensity", "ground_label",
-                  "debug_label", "nbr_stats", "slot", "is_ignored")
-    _FETCH_ORDER = _FETCH_F32 + _FETCH_U32 + _FETCH_I32
-
     def _fetch_packed(self, from_gcol: int, n: int):
-        """Fetch all per-cell readout fields for ``n`` columns in one jitted
-        dispatch + one transfer: a (n_fields, R, width) i32 slab (f32/u32
-        bitcast) plus the packed slot tables.  Widths are bucketed to powers
-        of two so at most ~log2(ring) programs compile."""
+        """Fetch all per-cell readout fields for ``n`` columns.
+
+        Fast path: the requested range is covered by the publish slab that
+        rode the last consumed step's outputs — served with ZERO extra
+        dispatches (at most one transfer, on first touch).  Otherwise one
+        jitted dispatch + one transfer of a (n_fields, R, width) i32 slab
+        (f32/u32 bitcast); widths are bucketed to powers of two so at most
+        ~log2(ring) programs compile."""
         import jax
 
-        from ..ops.state import ring_read
+        from ..ops.readout import FETCH_ORDER, packed_readout, unpack_slab
+
+        if self._slab is not None:
+            lo, hi, dev = self._slab
+            if from_gcol >= lo and from_gcol + n <= hi:
+                if self._slab_np is None:
+                    self._slab_np = np.asarray(dev)
+                return unpack_slab(self._slab_np, from_gcol - lo, n)
 
         rc = self._state.ring_cols
         bucket = max(8, 1 << max(0, n - 1).bit_length())
@@ -460,7 +503,7 @@ class ContinuousClustering:
             )
             out = {
                 f: np.asarray(getattr(self._state, f)[:, lcols])
-                for f in self._FETCH_ORDER
+                for f in FETCH_ORDER
             }
             out["is_ignored"] = out["is_ignored"].astype(np.int32)
             sp = np.asarray(self._state.slot_parent)
@@ -475,42 +518,12 @@ class ContinuousClustering:
 
         fn = self._fetch_cache.get(bucket)
         if fn is None:
-            order = self._FETCH_ORDER
-
-            def run(state, lc0):
-                def rd(name):
-                    a = ring_read(getattr(state, name), lc0, bucket)
-                    if a.dtype in (jnp.float32, jnp.uint32):
-                        a = jax.lax.bitcast_convert_type(a, jnp.int32)
-                    elif a.dtype == jnp.bool_:
-                        a = a.astype(jnp.int32)
-                    return a
-
-                rows = [rd(f) for f in order]
-                # slot join on device: two extra slab rows instead of a
-                # second transfer of the K tables
-                slot = ring_read(state.slot, lc0, bucket)
-                res = jnp.take(state.slot_parent, jnp.maximum(slot, 0))
-                has = slot >= 0
-                rows.append(jnp.where(has, jnp.take(state.slot_cid, res), 0))
-                rows.append(jnp.where(has, jnp.take(state.slot_rep, res), -1))
-                return jnp.stack(rows)
-
-            fn = jax.jit(run)
+            fn = jax.jit(lambda state, lc0: packed_readout(state, lc0, bucket))
             self._fetch_cache[bucket] = fn
 
+        self.n_fetch_dispatches += 1
         slab = np.asarray(fn(self._state, jnp.asarray(from_gcol % rc, jnp.int32)))
-        out = {}
-        for i, f in enumerate(self._FETCH_ORDER):
-            a = np.ascontiguousarray(slab[i, :, :n])
-            if f in self._FETCH_F32:
-                a = a.view(np.float32)
-            elif f in self._FETCH_U32:
-                a = a.view(np.uint32)
-            out[f] = a
-        out["cell_cid"] = np.ascontiguousarray(slab[-2, :, :n])
-        out["cell_rep"] = np.ascontiguousarray(slab[-1, :, :n])
-        return out
+        return unpack_slab(slab, 0, n)
 
     @property
     def state(self) -> RingState:

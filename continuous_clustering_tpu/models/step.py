@@ -32,6 +32,14 @@ class StepInfo(NamedTuple):
     cluster_counter_old: jax.Array  # () i32
     reset_required: jax.Array    # () bool
     overflow: jax.Array          # () bool
+    # publish slab: packed per-cell readout of columns [fu_old, fu_old + W)
+    # (W = the static ``slab_cols``; (N_SLAB_ROWS, R, W) i32, zero-size when
+    # disabled).  Riding the readout on the step outputs makes steady-state
+    # emission cost ZERO extra dispatches — the host serves get_columns from
+    # this array instead of launching a separate fetch program (the
+    # reference's publish thread re-reads the range image the same way,
+    # src/ros/ros_utils.cpp:34-77, but a dispatch there is a function call).
+    slab: jax.Array
 
 
 class EgoCalibration(NamedTuple):
@@ -49,6 +57,16 @@ class SegPoses(NamedTuple):
     ego_trans: jax.Array   # (B, 3) f32
 
 
+def _publish_slab(state: RingState, fu_old, slab_cols: int) -> jax.Array:
+    """Packed readout of the publish window [fu_old, fu_old + slab_cols)."""
+    from ..ops.readout import N_SLAB_ROWS, packed_readout
+
+    if not slab_cols:
+        return jnp.zeros((N_SLAB_ROWS, state.num_rows, 0), jnp.int32)
+    lc0 = jnp.maximum(fu_old, 0) % state.ring_cols
+    return packed_readout(state, lc0, slab_cols)
+
+
 def pipeline_step_block(
     config: Config,
     state: RingState,
@@ -57,6 +75,7 @@ def pipeline_step_block(
     hsg,
     batch_cols: int,
     profile_cut: str = "",
+    slab_cols: int = 0,
 ):
     """Host-insertion variant: ingest a dense finished-column block, then
     segmentation + association + completion (no insertion scan).
@@ -74,6 +93,7 @@ def pipeline_step_block(
             fu_old=s.first_unpublished, fu_new=s.first_unpublished,
             num_new_clusters=zero, cluster_counter_old=s.cluster_counter,
             reset_required=s.reset_required, overflow=s.overflow,
+            slab=_publish_slab(s, s.first_unpublished, 0),
         )
 
     if profile_cut == "null":
@@ -114,6 +134,7 @@ def pipeline_step_block(
         cluster_counter_old=counter_old,
         reset_required=state.reset_required,
         overflow=state.overflow,
+        slab=_publish_slab(state, cres.fu_old, slab_cols),
     )
     return state, info
 
@@ -124,6 +145,7 @@ def pipeline_step(
     batch: FiringBatch,
     ego: EgoCalibration,
     batch_cols: int,
+    slab_cols: int = 0,
 ):
     """Process one firing batch end-to-end on device.
 
@@ -193,5 +215,6 @@ def pipeline_step(
         cluster_counter_old=counter_old,
         reset_required=state.reset_required,
         overflow=state.overflow,
+        slab=_publish_slab(state, cres.fu_old, slab_cols),
     )
     return state, info

@@ -291,11 +291,15 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
 
 
 def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
-                L0=None) -> jax.Array:
+                L0=None):
     """Shared CC driver: alternate a sweep with pointer-jump compression
     until the labels are stable.  ``L0`` optionally seeds the labels (must
     be component-consistent: L0[i] = wlid of some cell in i's component,
-    <= wlid[i]); the fixpoint is the same per-component minimum wlid."""
+    <= wlid[i]); the fixpoint is the same per-component minimum wlid.
+
+    Returns ``(labels, converged)`` — ``converged`` is False iff the loop
+    hit ``max_iters`` with labels still changing (a pathological chain the
+    caller must surface rather than silently mislabel)."""
     wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
     if L0 is not None:
         wlid = L0
@@ -315,8 +319,10 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
         L2 = jump(sweep_fn(L))
         return L2, jnp.any(L2 != L), it + 1
 
-    L, _, _ = jax.lax.while_loop(cond, body, (wlid, jnp.asarray(True), 0))
-    return L
+    L, changed, _ = jax.lax.while_loop(
+        cond, body, (wlid, jnp.asarray(True), 0)
+    )
+    return L, ~changed
 
 
 def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array, L0,
@@ -603,15 +609,15 @@ def associate_and_complete(
 
     mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
     if pallas_enabled(B) and brev is not None:
-        Lw = window_cc_pallas(config, bits, brev, active_w, L0, B, max_wp)
+        Lw, cc_ok = window_cc_pallas(config, bits, brev, active_w, L0, B, max_wp)
     elif mode == "fori":
-        Lw = _window_cc(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok = _window_cc(config, bits, active_w, L0, B, max_wp)
     elif mode == "unrolled":
-        Lw = _window_cc_unrolled(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok = _window_cc_unrolled(config, bits, active_w, L0, B, max_wp)
     elif mode == "stacked":
-        Lw = _window_cc_stacked(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok = _window_cc_stacked(config, bits, active_w, L0, B, max_wp)
     else:
-        Lw = _window_cc_vectorized(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok = _window_cc_vectorized(config, bits, active_w, L0, B, max_wp)
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
 
@@ -839,19 +845,6 @@ def associate_and_complete(
             min_required == I32_MAX, inputs.gcol0 + inputs.n_cols, min_required
         )
         fu_new = jnp.where(has_data, jnp.maximum(fu_old, min_required), fu_old)
-        # clear one rotation behind the frontier (…cpp:1079) but never past
-        # the previous completion's frontier (async: the host reads
-        # [fu_old, fu_new) one step later).  This only moves the clear
-        # TARGET; the actual clearing runs as a bounded chunk every batch.
-        clear_target_new = jnp.where(
-            has_data,
-            jnp.maximum(
-                jnp.maximum(0, jnp.minimum(fu_new - num_cols, clear_bound_old)),
-                state.clear_target,
-            ),
-            state.clear_target,
-        )
-        clear_bound_new = jnp.where(has_data, fu_old, clear_bound_old)
 
         # free slots whose component's cells have been cleared from the ring
         # (cells of freed slots can no longer be read: cleared cells have
@@ -872,15 +865,14 @@ def associate_and_complete(
         rep2 = jnp.where(freed, -1, rep)
         return (
             live2, valid2, finished2, cid2, sp2, fin2, gmin2, gmax2, cnt2,
-            rep2, num_new, fu_new, clear_target_new, clear_bound_new,
+            rep2, num_new, fu_new,
         )
 
     def skip_completion(ops):
         (live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep) = ops
         return (
             live, valid, finished, cid, sp, fin, gmin, gmax, cnt, rep,
-            jnp.asarray(0, jnp.int32), fu_old, state.clear_target,
-            state.clear_bound,
+            jnp.asarray(0, jnp.int32), fu_old,
         )
 
     ops = (
@@ -900,16 +892,44 @@ def associate_and_complete(
         outs = jax.lax.cond(did_complete, completion, skip_completion, ops)
     (
         live_o, valid_o, finished_o, cid_o, sp_o, fin_o, gmin_o, gmax_o,
-        cnt_o, rep_o, num_new, fu_new, clear_target_new, clear_bound_new,
+        cnt_o, rep_o, num_new, fu_new,
     ) = outs
     if profile_cut == "completion":
         return _cut_result(state, fu_old, (cid_o, fin_o, cnt_o, fu_new))
+
+    # clear bookkeeping advances EVERY step (not completion-gated): the clear
+    # target trails the frontier by one rotation (…cpp:1079) and never passes
+    # the PREVIOUS step's frontier (clear_bound): in async mode the host
+    # finishes reading [fu_old(k-1), fu_new(k-1)) before step k+1 dispatches,
+    # so at step k+1 columns < fu_old(k) are read-complete and clearable.
+    # Gating this on completion made the target lag ~2 whole nth rounds,
+    # which for nth-gated configs meant clearing effectively never ran and
+    # the head silently wrapped over uncleared cells.
+    clear_target_new = jnp.where(
+        has_data,
+        jnp.maximum(
+            jnp.maximum(0, jnp.minimum(fu_new - num_cols, clear_bound_old)),
+            state.clear_target,
+        ),
+        state.clear_target,
+    )
+    clear_bound_new = jnp.where(has_data, fu_old, clear_bound_old)
 
     # ring reuse check: writing column g reuses the cell of column g - rc,
     # which must already be published — the head catching the unpublished
     # tail is the reference's overflow throw (…cpp:337-344).  fu_old is the
     # pre-completion frontier, i.e. it was advanced at least one step ago.
-    window_overflow = has_data & (newest_gcol - rc >= fu_old)
+    # Clearing is deferred (bounded chunks), so additionally require the
+    # reused cell to be actually CLEARED (ring_start bound): a published but
+    # not-yet-cleared cell still holds a finite distance that would silently
+    # pollute the reusing column's occupancy checks during ingest.
+    window_overflow = has_data & (
+        (newest_gcol - rc >= fu_old)
+        | ((ring_start_old >= 0) & (newest_gcol - rc >= ring_start_old))
+        # CC non-convergence (64-round cap hit with labels still changing) is
+        # surfaced the same way: mislabeled output must be loud, not silent
+        | ~cc_ok
+    )
 
     state = dataclasses.replace(
         state,

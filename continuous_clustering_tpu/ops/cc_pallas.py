@@ -189,13 +189,17 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
 
 def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
                      active_w: jax.Array, L0: jax.Array, B: int,
-                     max_wp: jax.Array) -> jax.Array:
+                     max_wp: jax.Array):
     import numpy as _np
     """Drop-in replacement for association._window_cc using the Pallas sweep.
 
     Each round launches a multi-sweep kernel with an in-kernel fixpoint
     flag; pointer jumping runs only while unconverged (it compresses label
-    chains if the in-place propagation stalls on snake-shaped components)."""
+    chains if the in-place propagation stalls on snake-shaped components).
+
+    Returns ``(labels, converged)`` like ``association.cc_converge``; the
+    64-round cap matches the XLA path, and ``converged`` is False iff the
+    cap was hit with labels still changing."""
     R, WCOL = active_w.shape
 
     def jump(L):
@@ -205,7 +209,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
 
     def cond(c):
         L, changed, it = c
-        return changed & (it < 24)
+        return changed & (it < 64)
 
     # per-(dc, word) bit occupancy over the whole batch
     occ = jax.lax.reduce(
@@ -224,8 +228,8 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         )
         return L3, changed, it + 1
 
-    L, _, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
-    return L
+    L, changed, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
+    return L, ~changed
 
 
 # ---------------------------------------------------------------------------

@@ -266,10 +266,19 @@ def clear_columns_chunk(
     is bookkeeping (stale cells are excluded by their gcol mismatch and
     slots are freed against the cleared bound), so a bounded O(width) chunk
     per batch — two dynamic_update_slices per field — replaces the full-ring
-    masked reset and still catches up at the column rate."""
+    masked reset and still catches up at the column rate.
+
+    Because the chunk clear can lag the target by up to ~ring_cols columns,
+    a ring position due for clearing may already have been overwritten by a
+    newer (published-frontier-legal) column.  Clearing is therefore gated on
+    the cell's stored gcol: only cells whose gcol is at most the column being
+    cleared are wiped — fresher cells (gcol > expected) are the new column's
+    data and must survive (overwrite-is-the-clear for them)."""
     n = jnp.clip(target - cleared_to, 0, width)
     lc0 = jnp.maximum(cleared_to, 0) % state.ring_cols
-    mask = (jnp.arange(width) < n)[None, :]
+    expected = cleared_to + jnp.arange(width, dtype=jnp.int32)
+    gcol_cur = ring_read(state.gcol, lc0, width)
+    mask = (jnp.arange(width) < n)[None, :] & (gcol_cur <= expected[None, :])
     R = state.num_rows
 
     updates = {}

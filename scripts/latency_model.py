@@ -11,16 +11,21 @@ sensor to the cluster callback firing:
                      (tau = column period; uniform c -> mean (B-1)/2 * tau)
   device step      — the fused step for that batch (measured here on the
                      real chip, scan-resident, nth=1 latency configuration)
-  host emit        — get_columns over the publish range + group/split + the
-                     callback (measured here on the host)
+  host emit        — since round 3 the publish readout RIDES THE STEP
+                     OUTPUTS (StepInfo.slab): emission is ONE device->host
+                     transfer of an already-computed array plus host-side
+                     grouping — zero extra dispatches (asserted by
+                     tests/test_pipeline.py::test_publish_slab_zero_dispatch_emission).
+                     Measured here as np.asarray(slab) + _emit_clusters.
 
 This is a *decomposed* measurement: per-batch standalone dispatch through
 the current TPU tunnel hits a ~1.7 s dispatch anomaly
 (docs/ROUND1_NOTES.md) that a PCIe-attached host does not have, so the
 streaming loop itself cannot be timed end-to-end here.  Each component is
-measured for real; the composition is arithmetic.  Writes LATENCY_r2.json.
+measured for real; the composition is arithmetic.  Writes LATENCY_r3.json.
 
 Usage: python scripts/latency_model.py [--batch 64] [--rows 64] [--cols 2200]
+       [--smoke]   (tiny shapes on CPU, no JSON file — CI exercise only)
 """
 
 import argparse
@@ -28,7 +33,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 CHILD = r"""
 import json, os, sys, time
@@ -38,8 +42,13 @@ sys.path.insert(0, os.environ["CCT_REPO"])
 from continuous_clustering_tpu.tools import bench_setup
 from continuous_clustering_tpu.utils.platform import ensure_backend
 
-bench_setup.enable_compile_cache()
-ensure_backend()
+smoke = os.environ.get("CCT_LAT_SMOKE") == "1"
+if smoke:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+else:
+    bench_setup.enable_compile_cache()
+    ensure_backend()
 
 import jax
 import jax.numpy as jnp
@@ -69,23 +78,36 @@ int(np.asarray(state.first_unpublished))
 t1 = time.perf_counter()
 step_ms = (t1 - t0) * 1000.0 / (2 * steps_per_rev)
 
-# host emit cost: get_columns over a typical publish range + grouping
+# host emit cost via the publish slab (the streaming path): ONE transfer of
+# the step-output slab + host-side unpack/group/split + callback.  A real
+# single step populates the slab exactly like streaming would.
 pipe._state = state
 emit = []
 def cb(cloud, stamp):
     emit.append(len(cloud))
 pipe.set_finished_cluster_callback(cb)
 fu = int(np.asarray(state.first_unpublished))
-t0 = time.perf_counter()
+from continuous_clustering_tpu.ops.readout import packed_readout
+W = pipe._slab_W
+slab_fn = jax.jit(lambda s, lc0: packed_readout(s, lc0, W))
+lo = max(0, fu - batch)
+slab_dev = slab_fn(state, jnp.asarray(lo % state.x.shape[1], jnp.int32))
+np.asarray(slab_dev)  # warm the transfer path / compile
 N = 20
+t0 = time.perf_counter()
 for _ in range(N):
-    pipe._emit_clusters(max(0, fu - batch), fu, 0, 10**9)
+    # fresh device buffer each probe so the transfer isn't cached away
+    slab_dev = slab_fn(state, jnp.asarray(lo % state.x.shape[1], jnp.int32))
+    pipe._slab = (lo, lo + W, slab_dev)
+    pipe._slab_np = None
+    pipe._emit_clusters(lo, fu, 0, 10**9)
 t1 = time.perf_counter()
 emit_ms = (t1 - t0) * 1000.0 / N
+n_dispatch = pipe.n_fetch_dispatches  # must stay 0: slab covers the range
 
 # device-link round-trip floor: a trivial dispatch + scalar fetch.  The
-# emit path costs one dispatch + two fetches; on a remote tunnel the link
-# floor dominates, on a PCIe-attached host it is ~0.1 ms.
+# slab emit path costs exactly ONE transfer; on a remote tunnel the link
+# floor dominates it, on a PCIe-attached host it is ~0.1 ms.
 trivial = jax.jit(lambda x: x + 1)
 _ = int(np.asarray(trivial(jnp.int32(0))))
 t0 = time.perf_counter()
@@ -97,6 +119,7 @@ link_ms = (t1 - t0) * 1000.0 / 10
 print(json.dumps({
     "step_ms": round(step_ms, 3),
     "emit_ms": round(emit_ms, 3),
+    "emit_extra_dispatches": n_dispatch,
     "link_roundtrip_ms": round(link_ms, 3),
     "steps_per_rev": steps_per_rev,
     "clusters_emitted_per_probe": len(emit) // max(N, 1),
@@ -111,7 +134,11 @@ def main():
     ap.add_argument("--cols", type=int, default=2200)
     ap.add_argument("--rev-hz", type=float, default=10.0,
                     help="sensor revolutions per second (KITTI HDL-64E: 10)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-shape CPU exercise (CI); prints but writes no file")
     args = ap.parse_args()
+    if args.smoke:
+        args.rows, args.cols, args.batch = 16, 128, 32
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -120,6 +147,7 @@ def main():
         CCT_LAT_ROWS=str(args.rows),
         CCT_LAT_COLS=str(args.cols),
         CCT_LAT_BATCH=str(args.batch),
+        CCT_LAT_SMOKE="1" if args.smoke else "0",
     )
     p = subprocess.run(
         [sys.executable, "-c", CHILD], env=env, cwd=repo,
@@ -130,6 +158,10 @@ def main():
         print(p.stderr[-2000:], file=sys.stderr)
         raise SystemExit("latency child failed")
     meas = json.loads(line[-1])
+    if meas.get("emit_extra_dispatches", 0) != 0:
+        raise SystemExit(
+            "emit path took extra dispatches: %s" % meas["emit_extra_dispatches"]
+        )
 
     tau_ms = 1000.0 / (args.rev_hz * args.cols)   # column period
     B = args.batch
@@ -137,11 +169,11 @@ def main():
     batching_p95 = 0.95 * (B - 1) * tau_ms
     p50 = batching_p50 + meas["step_ms"] + meas["emit_ms"]
     p95 = batching_p95 + meas["step_ms"] + meas["emit_ms"]
-    # the emit path is one dispatch + two fetches = ~3 link round trips;
-    # modeled local emit removes the remote-tunnel link floor (PCIe hosts
-    # have a ~0.1 ms floor, this tunnel ~40-60 ms)
+    # the slab emit path is exactly ONE device->host transfer; modeled local
+    # emit removes the remote-tunnel link floor (PCIe hosts ~0.1 ms, this
+    # tunnel ~40-60 ms per round trip)
     link = meas.get("link_roundtrip_ms", 0.0)
-    emit_local = max(0.3, meas["emit_ms"] - 3.0 * link)
+    emit_local = max(0.1, meas["emit_ms"] - link)
     p50_local = batching_p50 + meas["step_ms"] + emit_local
 
     out = {
@@ -159,22 +191,29 @@ def main():
             "batching_p50": round(batching_p50, 3),
             "device_step_measured": meas["step_ms"],
             "host_emit_measured": meas["emit_ms"],
+            "emit_extra_dispatches": meas.get("emit_extra_dispatches", 0),
             "link_roundtrip_measured": link,
             "host_emit_modeled_local_attach": round(emit_local, 3),
         },
         "method": (
             "decomposed: batching delay analytic; device step measured "
             "scan-resident on the real chip at the latency config (B={}, "
-            "nth=1); host emit measured with real get_columns + grouping "
-            "(one packed dispatch + one slab transfer). Composition is additive "
-            "because the three phases are strictly sequential per batch in "
-            "single-threaded mode. 'value' is as-measured through this "
-            "remote TPU tunnel whose per-round-trip floor is also reported; "
-            "p50_modeled_local_attach_ms subtracts the tunnel link floor "
-            "(3 round trips) to model a PCIe/local-attached host.".format(B)
+            "nth=1); host emit measured via the publish slab riding the "
+            "step outputs (ONE device->host transfer + host grouping; zero "
+            "extra dispatches, asserted here and in "
+            "test_publish_slab_zero_dispatch_emission). Composition is "
+            "additive because the three phases are strictly sequential per "
+            "batch in single-threaded mode. 'value' is as-measured through "
+            "this remote TPU tunnel whose per-round-trip floor is also "
+            "reported; p50_modeled_local_attach_ms subtracts the tunnel "
+            "link floor (1 round trip) to model a PCIe/local-attached "
+            "host.".format(B)
         ),
     }
-    path = os.path.join(repo, "LATENCY_r2.json")
+    if args.smoke:
+        print(json.dumps(out))
+        return
+    path = os.path.join(repo, "LATENCY_r3.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -78,10 +78,10 @@ def test_pipeline_matches_compiled_reference(harness, tmp_path, stop_assoc):
     assert len(common) > 0.95 * len(ref_labels)
 
     g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
-    assert g_match >= 0.999, f"ground label agreement vs compiled reference: {g_match}"
+    assert g_match >= 1.0, f"ground label agreement vs compiled reference: {g_match}"
 
     agreement = partition_agreement(ref_labels, our_labels)
-    assert agreement >= 0.98, f"cluster partition agreement vs compiled reference: {agreement}"
+    assert agreement >= 1.0, f"cluster partition agreement vs compiled reference: {agreement}"
 
 
 def test_pipeline_matches_reference_chessboard(harness, tmp_path):
@@ -106,9 +106,9 @@ def test_pipeline_matches_reference_chessboard(harness, tmp_path):
     our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
     common = set(ref_labels) & set(our_labels)
     g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
-    assert g_match >= 0.999
+    assert g_match >= 1.0, f"chessboard ground agreement {g_match}"
     agreement = partition_agreement(ref_labels, our_labels)
-    assert agreement >= 0.98, f"chessboard agreement {agreement}"
+    assert agreement >= 1.0, f"chessboard agreement {agreement}"
 
 
 def test_pipeline_matches_reference_moving_sensor(harness, tmp_path):
@@ -142,12 +142,12 @@ def test_pipeline_matches_reference_moving_sensor(harness, tmp_path):
     our_labels, our_ground, _ = collect_pipeline(cfg, firings, poses)
     common = set(ref_labels) & set(our_labels)
     g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
-    assert g_match >= 0.995, f"moving-sensor ground agreement {g_match}"
+    assert g_match >= 1.0, f"moving-sensor ground agreement {g_match}"
     agreement = partition_agreement(ref_labels, our_labels)
-    assert agreement >= 0.98, f"moving-sensor partition agreement {agreement}"
+    assert agreement >= 1.0, f"moving-sensor partition agreement {agreement}"
 
 
-@pytest.mark.parametrize("nth,ring_revs,num_frames", [(300, 4, 6), (1024, 12, 13)])
+@pytest.mark.parametrize("nth,ring_revs,num_frames", [(300, 5, 6), (1024, 12, 13)])
 def test_pipeline_matches_reference_nth_gated(harness, tmp_path, nth, ring_revs, num_frames):
     """cluster_point_trees_every_nth_column > 1 (the bench configuration,
     reference …cpp:841): completion is gated to batches containing an nth
@@ -186,9 +186,9 @@ def test_pipeline_matches_reference_nth_gated(harness, tmp_path, nth, ring_revs,
     common = set(ref_labels) & set(our_labels)
     assert len(common) > 0.9 * len(ref_labels)
     g_match = np.mean([ref_ground[k] == our_ground[k] for k in common])
-    assert g_match >= 0.999, f"nth={nth} ground agreement {g_match}"
+    assert g_match >= 1.0, f"nth={nth} ground agreement {g_match}"
     agreement = partition_agreement(ref_labels, our_labels)
-    assert agreement >= 0.98, f"nth={nth} partition agreement {agreement}"
+    assert agreement >= 1.0, f"nth={nth} partition agreement {agreement}"
 
 
 def test_nth_window_validation():
@@ -226,9 +226,9 @@ def test_python_oracle_matches_compiled_reference(harness, tmp_path):
     common = set(ref_labels) & set(o_labels)
     assert len(common) > 1000
     g_match = np.mean([ref_ground[k] == o_ground[k] for k in common])
-    assert g_match >= 0.999, f"oracle ground agreement: {g_match}"
+    assert g_match >= 1.0, f"oracle ground agreement: {g_match}"
     agreement = partition_agreement(ref_labels, o_labels)
-    assert agreement >= 0.99, f"oracle partition agreement: {agreement}"
+    assert agreement >= 1.0, f"oracle partition agreement: {agreement}"
 
 
 def test_pipeline_matches_reference_kitti_scale_fog(harness, tmp_path):
@@ -309,10 +309,10 @@ def test_pipeline_matches_reference_kitti_scale_fog(harness, tmp_path):
     common = set(ref_labels) & set(labels)
     assert len(common) > 0.9 * len(ref_labels)
     g_match = np.mean([ref_ground[k] == ground[k] for k in common])
-    assert g_match >= 0.999, f"kitti-scale ground agreement {g_match}"
+    assert g_match >= 1.0, f"kitti-scale ground agreement {g_match}"
     # fog must actually have triggered, with the reference's enum value
     n_fog_ref = sum(1 for k in common if ref_ground[k] == GP_FOG)
     n_fog_ours = sum(1 for k in common if ground[k] == GP_FOG)
     assert n_fog_ref > 100 and n_fog_ours > 100
     agreement = partition_agreement(ref_labels, labels)
-    assert agreement >= 0.98, f"kitti-scale partition agreement {agreement}"
+    assert agreement >= 1.0, f"kitti-scale partition agreement {agreement}"
