@@ -58,6 +58,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.cct_velodyne_create.argtypes = [
         c.c_int, c.c_float, c.c_void_p, c.c_void_p, c.c_void_p, c.c_double
     ]
+    lib.cct_velodyne_set_corrections.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p,
+    ]
     lib.cct_velodyne_destroy.argtypes = [c.c_void_p]
     lib.cct_velodyne_decode.argtypes = [c.c_void_p, c.c_void_p, c.c_int64, c.c_uint64]
     lib.cct_velodyne_poll.restype = c.c_int

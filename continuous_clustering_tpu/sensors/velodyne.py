@@ -32,6 +32,12 @@ class VelodyneInput(SensorInput):
         firing_cycle_ns: float = 55296.0,
         use_native: bool = True,
         decode_threads: int = 0,
+        dist_corrections_m=None,
+        dist_corrections_x_m=None,
+        dist_corrections_y_m=None,
+        vert_offsets_m=None,
+        horiz_offsets_m=None,
+        two_pt=None,
     ):
         super().__init__(num_lasers)
         if vert_angles_deg is None:
@@ -52,6 +58,26 @@ class VelodyneInput(SensorInput):
         self.distance_resolution = distance_resolution
         self.firing_cycle_ns = firing_cycle_ns
 
+        # velodyne_pointcloud per-laser correction terms (meters); zeros when
+        # the calibration does not provide them
+        def _arr(v):
+            return (
+                np.zeros(num_lasers, np.float32)
+                if v is None
+                else np.asarray(v, np.float32)
+            )
+
+        self.dist_corr = _arr(dist_corrections_m)
+        self.dist_corr_x = _arr(dist_corrections_x_m)
+        self.dist_corr_y = _arr(dist_corrections_y_m)
+        self.vert_off = _arr(vert_offsets_m)
+        self.horiz_off = _arr(horiz_offsets_m)
+        self.two_pt = (
+            np.zeros(num_lasers, np.uint8)
+            if two_pt is None
+            else np.asarray(two_pt, np.uint8)
+        )
+
         self._native = None
         self._offload = None
         lib = native.load() if use_native else None
@@ -64,6 +90,15 @@ class VelodyneInput(SensorInput):
                 self.az_off.ctypes.data_as(ctypes.c_void_p),
                 self.rings.ctypes.data_as(ctypes.c_void_p),
                 ctypes.c_double(firing_cycle_ns),
+            )
+            lib.cct_velodyne_set_corrections(
+                self._native,
+                self.dist_corr.ctypes.data_as(ctypes.c_void_p),
+                self.dist_corr_x.ctypes.data_as(ctypes.c_void_p),
+                self.dist_corr_y.ctypes.data_as(ctypes.c_void_p),
+                self.vert_off.ctypes.data_as(ctypes.c_void_p),
+                self.horiz_off.ctypes.data_as(ctypes.c_void_p),
+                self.two_pt.ctypes.data_as(ctypes.c_void_p),
             )
             if decode_threads > 0:
                 # decode-thread offload (reference ros_sensor_input.hpp:19-60):
@@ -145,63 +180,146 @@ class VelodyneInput(SensorInput):
                 break
 
     # -------------------------------------------------- pure NumPy fallback
+    # VLP-16 firing timing, microseconds (velodyne_pointcloud constants)
+    _VLP16_DSR_TOFFSET = 2.304
+    _VLP16_FIRING_TOFFSET = 55.296
+    _VLP16_BLOCK_TDURATION = 110.592
+
     def _decode_python(self, packet: bytes, stamp_ns: int) -> None:
         if len(packet) < 1200:
             return
         data = np.frombuffer(packet, dtype=np.uint8)[:1200].reshape(12, 100)
+        # factory byte 1204: return mode (0x39 = dual)
+        dual = len(packet) >= 1206 and packet[1204] == 0x39
+        az_ticks = [
+            int(data[b, 2]) | (int(data[b, 3]) << 8) for b in range(12)
+        ]
         R = self.num_lasers
+        if R == 16:
+            self._decode_python_vlp16(data, az_ticks, dual, stamp_ns)
+            return
         blocks_per_firing = max(1, (R + 31) // 32)
         # bank flags: 0xEEFF lasers 0-31, 0xDDFF 32-63, 0xCCFF 64-95,
         # 0xBBFF 96-127 (VLS-128)
         bank_of = {0xEEFF: 0, 0xDDFF: 32, 0xCCFF: 64, 0xBBFF: 96}
+        dual_pair = dual and R == 32  # pairing for 32-laser models only
         for b in range(12):
             block = data[b]
             flag = int(block[0]) | (int(block[1]) << 8)
             if flag not in bank_of:
                 continue
-            azimuth = (int(block[2]) | (int(block[3]) << 8)) * 0.01 * math.pi / 180.0
+            azimuth = az_ticks[b] * 0.01 * math.pi / 180.0
             payload = block[4:100].reshape(32, 3)
             ticks = payload[:, 0].astype(np.uint16) | (
                 payload[:, 1].astype(np.uint16) << np.uint16(8)
             )
             inten = payload[:, 2]
             bank = bank_of[flag] if R > 32 else 0
+            overwrite_pass = dual_pair and b % 2 == 1
+            tb = (b & ~1) if dual_pair else b  # pair blocks are simultaneous
             for ch in range(32):
-                if R == 16:
-                    # two consecutive 16-laser firings per block
-                    if ch == 16 and self._slot_filled.any():
-                        self._emit_fallback()
-                    laser = ch % 16
-                else:
-                    laser = bank + ch
-                    if laser >= R:
-                        break
+                laser = bank + ch
+                if laser >= R:
+                    break
                 self._add_point(
                     laser, azimuth, float(ticks[ch]) * self.distance_resolution,
                     int(inten[ch]),
-                    stamp_ns + int((b * 32 + ch) * self.firing_cycle_ns / 32),
+                    stamp_ns + int((tb * 32 + ch) * self.firing_cycle_ns / 32),
+                    overwrite=overwrite_pass and int(ticks[ch]) > 0,
                 )
-            if (b + 1) % blocks_per_firing == 0 and self._slot_filled.any():
+            complete = (
+                b % 2 == 1 if dual_pair else (b + 1) % blocks_per_firing == 0
+            )
+            if complete and self._slot_filled.any():
                 self._emit_fallback()
 
-    def _add_point(self, laser, azimuth, dist, inten, stamp):
+    def _decode_python_vlp16(self, data, az_ticks, dual, stamp_ns):
+        """Two 16-laser firings per block with inter-block azimuth
+        interpolation; dual-return pairs assemble into one firing with the
+        strongest (second) block overwriting the last-return block."""
+        last_diff = 0.0
+        step = 2 if dual else 1
+        for b in range(0, 12, step):
+            if b + step < 12:
+                d = az_ticks[b + step] - az_ticks[b]
+                diff = float((36000 + d) % 36000)
+                if d < 0:  # angle-overflow guard
+                    diff = last_diff
+                last_diff = diff
+            else:
+                diff = last_diff
+            for firing in range(2):
+                for pkt_pass in range(2 if dual else 1):
+                    blk = b + pkt_pass
+                    block = data[blk]
+                    flag = int(block[0]) | (int(block[1]) << 8)
+                    if flag != 0xEEFF:
+                        continue
+                    payload = block[4:100].reshape(32, 3)
+                    for dsr in range(16):
+                        k = firing * 16 + dsr
+                        ticks = int(payload[k, 0]) | (int(payload[k, 1]) << 8)
+                        az_t = az_ticks[b] + diff * (
+                            dsr * self._VLP16_DSR_TOFFSET
+                            + firing * self._VLP16_FIRING_TOFFSET
+                        ) / self._VLP16_BLOCK_TDURATION
+                        if az_t >= 36000.0:
+                            az_t -= 36000.0
+                        self._add_point(
+                            dsr,
+                            az_t * 0.01 * math.pi / 180.0,
+                            ticks * self.distance_resolution,
+                            int(payload[k, 2]),
+                            stamp_ns
+                            + int((b * 32 + k) * self.firing_cycle_ns / 32),
+                            overwrite=pkt_pass == 1 and ticks > 0,
+                        )
+                if self._slot_filled.any():
+                    self._emit_fallback()
+
+    def _add_point(self, laser, azimuth, dist, inten, stamp, overwrite=False):
         ring = int(self.rings[laser])
         row = self.num_lasers - ring - 1  # velodyne_input.hpp:62
-        if self._slot_filled[row]:
+        if self._slot_filled[row] and not overwrite:
             return
+        was_filled = bool(self._slot_filled[row])
+        if dist <= 0:
+            if not was_filled:
+                self._slot_filled[row] = True
+                self._slot_stamp[row] = stamp
+            return  # distance 0 => NaN (velodyne_input.hpp:56)
         self._slot_filled[row] = True
         self._slot_stamp[row] = stamp
-        if dist <= 0:
-            return  # distance 0 => NaN (velodyne_input.hpp:56)
-        va = float(self.vert[laser])
-        # rot_correction is subtracted (velodyne_pointcloud convention)
-        az = azimuth - float(self.az_off[laser])
-        cv = math.cos(va)
-        self._slot_xyz[row] = (
-            dist * cv * math.cos(az),
-            -dist * cv * math.sin(az),
-            dist * math.sin(va),
-        )
+        # f32 math end-to-end so the fallback bit-matches the native decoder
+        f32 = np.float32
+        va = f32(self.vert[laser])
+        cv, sv = f32(math.cos(va)), f32(math.sin(va))
+        # rot_correction is subtracted (velodyne_pointcloud convention),
+        # via the angle-difference identities like the native path
+        rc = f32(self.az_off[laser])
+        craw, sraw = f32(math.cos(f32(azimuth))), f32(math.sin(f32(azimuth)))
+        crc, src = f32(math.cos(rc)), f32(math.sin(rc))
+        ca = f32(craw * crc + sraw * src)
+        sa = f32(sraw * crc - craw * src)
+        vo, ho = f32(self.vert_off[laser]), f32(self.horiz_off[laser])
+        dc = f32(self.dist_corr[laser])
+        d = f32(f32(dist) + dc)
+        corr_x = corr_y = f32(0.0)
+        if self.two_pt[laser]:
+            # two-point distance correction, interpolated between the near
+            # anchors (2.40 m x / 1.93 m y) and the 25.04 m far anchor
+            xy = f32(d * cv - vo * sv)
+            xx = f32(abs(xy * sa - ho * ca))
+            yy = f32(abs(xy * ca + ho * sa))
+            dcx, dcy = f32(self.dist_corr_x[laser]), f32(self.dist_corr_y[laser])
+            corr_x = f32((dc - dcx) * (xx - f32(2.40)) / f32(25.04 - 2.40) + dcx - dc)
+            corr_y = f32((dc - dcy) * (yy - f32(1.93)) / f32(25.04 - 1.93) + dcy - dc)
+        dist_x, dist_y = f32(d + corr_x), f32(d + corr_y)
+        xv = f32(f32(dist_x * cv - vo * sv) * sa - ho * ca)
+        yv = f32(f32(dist_y * cv - vo * sv) * ca + ho * sa)
+        zv = f32(dist_y * sv + vo * cv)
+        # velodyne frame -> ROS frame: x = y_v, y = -x_v, z = z_v
+        self._slot_xyz[row] = (yv, -xv, zv)
         self._slot_int[row] = inten
 
     def _emit_fallback(self):

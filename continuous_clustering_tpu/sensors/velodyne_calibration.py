@@ -43,11 +43,25 @@ def load_calibration(path) -> Dict[str, np.ndarray]:
     vert = np.array([math.degrees(l["vert_correction"]) for l in lasers])
     rot = np.array([math.degrees(l.get("rot_correction", 0.0)) for l in lasers])
     rings = np.argsort(np.argsort(vert)).astype(np.int32)
+
+    def _term(key):
+        return np.array([float(l.get(key, 0.0)) for l in lasers], np.float32)
+
     return {
         "vert_angles_deg": vert,
         "azimuth_offsets_deg": rot,
         "rings": rings,
         "num_lasers": len(lasers),
+        # velodyne_pointcloud correction terms (meters), zeros if absent
+        "dist_corrections_m": _term("dist_correction"),
+        "dist_corrections_x_m": _term("dist_correction_x"),
+        "dist_corrections_y_m": _term("dist_correction_y"),
+        "vert_offsets_m": _term("vert_offset_correction"),
+        "horiz_offsets_m": _term("horiz_offset_correction"),
+        "two_pt": np.array(
+            [int(bool(l.get("two_pt_correction_available", False))) for l in lasers],
+            np.uint8,
+        ),
     }
 
 

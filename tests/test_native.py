@@ -360,3 +360,217 @@ def test_ouster_rng19_matches_legacy_geometry():
     assert len(out["legacy"]) == len(out["rng19"]) > 0
     for a, b in zip(out["legacy"], out["rng19"]):
         np.testing.assert_allclose(a["xyz"], b["xyz"], rtol=2e-5, atol=2e-4)
+
+
+# ---------------------------------------------------------------- velodyne
+# decode-fidelity goldens: expected values hand-computed from the public
+# velodyne_pointcloud math (the parser the reference delegates to,
+# /root/reference/include/continuous_clustering/ros/velodyne_input.hpp:15-97)
+
+def _vlp16_packet_blocks(block_specs, return_mode=0x37):
+    """12 blocks from (azimuth_ticks, {channel: (dist_ticks, intensity)})."""
+    blocks = b""
+    for az_ticks, chans in block_specs:
+        block = struct.pack("<HH", 0xEEFF, az_ticks)
+        for ch in range(32):
+            d, i = chans.get(ch, (0, 0))
+            block += struct.pack("<HB", d, i)
+        blocks += block
+    return blocks + struct.pack("<IBB", 0, return_mode, 0x22)  # 1206 bytes
+
+
+def _expected_xyz_vlp16(laser, az_ticks_f, dist_m, vert_deg):
+    va = math.radians(vert_deg)
+    az = (az_ticks_f % 36000.0) * 0.01 * math.pi / 180.0
+    cv = math.cos(va)
+    return np.array(
+        [dist_m * cv * math.cos(az), -dist_m * cv * math.sin(az),
+         dist_m * math.sin(va)], np.float32,
+    )
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_vlp16_azimuth_interpolation(use_native):
+    """Channel azimuths are interpolated across the block from the
+    inter-block gap (velodyne_pointcloud unpack_vlp16 timing model)."""
+    from continuous_clustering_tpu.sensors.velodyne import (
+        VLP16_VERT_ANGLES,
+        VelodyneInput,
+    )
+
+    # block azimuths advance 40 ticks (0.4 deg) per block
+    az0, daz = 9000, 40
+    dist_ticks = int(12.0 / 0.002)
+    specs = []
+    for b in range(12):
+        # every channel of both firings carries a return
+        chans = {ch: (dist_ticks, 10) for ch in range(32)}
+        specs.append((az0 + b * daz, chans))
+    dec = VelodyneInput(num_lasers=16, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_vlp16_packet_blocks(specs), stamp_ns=0)
+    assert len(firings) == 24
+
+    dsr_t, fir_t, blk_t = 2.304, 55.296, 110.592
+    rings = np.argsort(np.argsort(VLP16_VERT_ANGLES))
+    for b in (0, 5):
+        for firing in (0, 1):
+            f = firings[b * 2 + firing]
+            for dsr in (0, 7, 15):
+                row = 16 - int(rings[dsr]) - 1
+                az_f = az0 + b * daz + daz * (
+                    dsr * dsr_t + firing * fir_t) / blk_t
+                exp = _expected_xyz_vlp16(
+                    dsr, az_f, 12.0, VLP16_VERT_ANGLES[dsr])
+                np.testing.assert_allclose(
+                    f["xyz"][row], exp, rtol=2e-5, atol=2e-5,
+                    err_msg=f"b={b} firing={firing} dsr={dsr}",
+                )
+    # the interpolated azimuth must differ measurably from the block
+    # azimuth for late channels (the round-2 decoder used az0 for all)
+    f = firings[1]  # block 0, firing 1
+    row = 16 - int(rings[15]) - 1
+    uninterp = _expected_xyz_vlp16(15, az0, 12.0, VLP16_VERT_ANGLES[15])
+    assert np.abs(f["xyz"][row] - uninterp).max() > 1e-3
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_vlp16_dual_return(use_native):
+    """Factory byte 0x39: block pairs carry last+strongest of the SAME
+    firing; the pair assembles into one firing, strongest winning."""
+    from continuous_clustering_tpu.sensors.velodyne import (
+        VLP16_VERT_ANGLES,
+        VelodyneInput,
+    )
+
+    last_t, strong_t = int(8.0 / 0.002), int(6.0 / 0.002)
+    specs = []
+    for pair in range(6):
+        az = 18000 + pair * 40
+        # even block: last return; odd block: strongest return.
+        # laser 3: both valid -> strongest (6 m) wins
+        # laser 5: strongest missing -> last (8 m) kept
+        last_ch = {3: (last_t, 1), 5: (last_t, 2),
+                   16 + 3: (last_t, 1), 16 + 5: (last_t, 2)}
+        strong_ch = {3: (strong_t, 9), 16 + 3: (strong_t, 9)}
+        specs.append((az, last_ch))
+        specs.append((az, strong_ch))
+    dec = VelodyneInput(num_lasers=16, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_vlp16_packet_blocks(specs, return_mode=0x39), stamp_ns=0)
+    # 6 pairs x 2 firings each (NOT 24: pairs collapse)
+    assert len(firings) == 12
+    rings = np.argsort(np.argsort(VLP16_VERT_ANGLES))
+    row3, row5 = 16 - int(rings[3]) - 1, 16 - int(rings[5]) - 1
+    for f in firings:
+        d3 = np.linalg.norm(f["xyz"][row3])
+        d5 = np.linalg.norm(f["xyz"][row5])
+        np.testing.assert_allclose(d3, 6.0, rtol=1e-4)  # strongest won
+        np.testing.assert_allclose(d5, 8.0, rtol=1e-4)  # last kept
+        assert f["intensity"][row3] == 9
+        other = [r for r in range(16) if r not in (row3, row5)]
+        assert np.isnan(f["xyz"][other, 0]).all()
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_velodyne_two_point_calibration(use_native):
+    """dist/two-point/offset corrections follow the velodyne_pointcloud
+    unpack math (hand-computed expected coordinates)."""
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    R = 32
+    vert_deg = np.linspace(10, -30, R)
+    dc = np.full(R, 0.12, np.float32)      # 12 cm base correction
+    dcx = np.full(R, 0.20, np.float32)
+    dcy = np.full(R, 0.05, np.float32)
+    vo = np.full(R, 0.10, np.float32)      # 10 cm vertical offset
+    ho = np.full(R, 0.026, np.float32)     # 2.6 cm horizontal offset
+    rot_deg = np.full(R, 1.5, np.float32)  # rot_correction
+    two_pt = np.ones(R, np.uint8)
+    dec = VelodyneInput(
+        num_lasers=R, vert_angles_deg=vert_deg,
+        azimuth_offsets_deg=rot_deg, use_native=use_native,
+        dist_corrections_m=dc, dist_corrections_x_m=dcx,
+        dist_corrections_y_m=dcy, vert_offsets_m=vo, horiz_offsets_m=ho,
+        two_pt=two_pt,
+    )
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    az_deg, dist_m = 73.0, 17.0
+    blocks = b""
+    for b in range(12):
+        block = struct.pack("<HH", 0xEEFF, int(az_deg * 100))
+        for ch in range(32):
+            block += struct.pack("<HB", int(dist_m / 0.002), 40)
+        blocks += block
+    dec.on_packet(blocks + b"\x00" * 6, stamp_ns=0)
+    assert len(firings) == 12
+
+    # independent recomputation of the velodyne_pointcloud formula
+    rings = np.argsort(np.argsort(vert_deg))
+    for laser in (0, 13, 31):
+        va = math.radians(float(vert_deg[laser]))
+        cv, sv = math.cos(va), math.sin(va)
+        az = math.radians(az_deg) - math.radians(1.5)
+        ca, sa = math.cos(az), math.sin(az)
+        d = dist_m + 0.12
+        xy = d * cv - 0.10 * sv
+        xx = abs(xy * sa - 0.026 * ca)
+        yy = abs(xy * ca + 0.026 * sa)
+        cx = (0.12 - 0.20) * (xx - 2.40) / (25.04 - 2.40) + 0.20 - 0.12
+        cy = (0.12 - 0.05) * (yy - 1.93) / (25.04 - 1.93) + 0.05 - 0.12
+        xv = ((d + cx) * cv - 0.10 * sv) * sa - 0.026 * ca
+        yv = ((d + cy) * cv - 0.10 * sv) * ca + 0.026 * sa
+        zv = (d + cy) * sv + 0.10 * cv
+        exp = np.array([yv, -xv, zv], np.float32)
+        row = R - int(rings[laser]) - 1
+        np.testing.assert_allclose(
+            firings[0]["xyz"][row], exp, rtol=1e-4, atol=1e-4,
+            err_msg=f"laser={laser}",
+        )
+
+
+def test_velodyne_native_matches_python_interpolated():
+    """Native/python parity on packets with advancing azimuths, dual-return
+    mode and full correction terms active."""
+    from continuous_clustering_tpu.sensors.velodyne import VelodyneInput
+
+    rng = np.random.default_rng(7)
+    pkts = []
+    for p in range(8):
+        specs = []
+        dual = p % 2 == 1
+        for b in range(12):
+            az = (p * 600 + (b // (2 if dual else 1)) * 40) % 36000
+            chans = {
+                int(ch): (int(rng.integers(0, 3000)), int(rng.integers(0, 255)))
+                for ch in rng.integers(0, 32, 20)
+            }
+            specs.append((az, chans))
+        pkts.append(_vlp16_packet_blocks(specs, 0x39 if dual else 0x37))
+    kw = dict(
+        num_lasers=16,
+        dist_corrections_m=np.full(16, 0.03, np.float32),
+        vert_offsets_m=np.full(16, 0.05, np.float32),
+        horiz_offsets_m=np.full(16, -0.02, np.float32),
+        two_pt=np.ones(16, np.uint8),
+        dist_corrections_x_m=np.full(16, 0.06, np.float32),
+        dist_corrections_y_m=np.full(16, 0.01, np.float32),
+    )
+    results = {}
+    for mode in (True, False):
+        dec = VelodyneInput(use_native=mode, **kw)
+        out = []
+        dec.add_on_new_firing_callback(lambda f: out.append(f))
+        for i, p in enumerate(pkts):
+            dec.on_packet(p, stamp_ns=i * 10**6)
+        results[mode] = out
+    assert len(results[True]) == len(results[False]) > 0
+    for a, b in zip(results[True], results[False]):
+        np.testing.assert_allclose(
+            a["xyz"], b["xyz"], rtol=1e-5, atol=1e-5, equal_nan=True
+        )
+        np.testing.assert_array_equal(a["intensity"], b["intensity"])
+        np.testing.assert_array_equal(a["stamp"], b["stamp"])
