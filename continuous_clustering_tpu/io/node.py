@@ -67,6 +67,11 @@ class ClusteringNode:
         self.publish_ground_columns: Optional[Callable] = None
         self.publish_instance_columns: Optional[Callable] = None
         self.publish_cluster: Optional[Callable] = None
+        # clock / tf / ego-bbox analogs (ros_utils.cpp:404-457; clock+tf
+        # emitted per firing like the reference demo, kitti_demo.cpp:76-80)
+        self.publish_clock: Optional[Callable] = None
+        self.publish_tf: Optional[Callable] = None
+        self.publish_ego_bbox: Optional[Callable] = None
 
         self._last_stamp: Optional[int] = None
         self._num_rows: Optional[int] = None
@@ -104,6 +109,14 @@ class ClusteringNode:
         self.tf_sync.add_message(stamp, firing)
 
     def _on_firing_with_tf(self, firing, pose) -> None:
+        if self.publish_clock or self.publish_tf:
+            from .publish_utils import make_clock_message, make_tf_message
+
+            stamp = int(firing["stamp"].max()) if len(firing["stamp"]) else 0
+            if self.publish_clock:
+                self.publish_clock(make_clock_message(stamp))
+            if self.publish_tf:
+                self.publish_tf(make_tf_message(pose, stamp))
         self.clustering.add_firing(firing, pose)
 
     def _on_finished_columns(self, from_gcol: int, to_gcol: int, ground_only: bool) -> None:
@@ -128,6 +141,14 @@ class ClusteringNode:
         self.clustering.reset(num_rows)
         self.clustering.set_transform_robot_frame_from_sensor_frame(self.ego_from_sensor)
         self.sensor_input.reset()
+        if self.publish_ego_bbox:
+            from .publish_utils import make_ego_bounding_box_marker
+
+            self.publish_ego_bbox(
+                make_ego_bounding_box_marker(
+                    self._last_stamp or 0, self.config.ground_segmentation
+                )
+            )
 
     def set_configuration(self, config: Config) -> None:
         self.config = config

@@ -118,7 +118,83 @@ class RosBridge:
             structured_to_pointcloud2(pts, odom_frame, int(stamp))
         )
 
+        # clock / tf / ego-bbox (reference ros_utils.cpp:404-457)
+        from rosgraph_msgs.msg import Clock
+        from visualization_msgs.msg import Marker
+
+        self.pub_clock = rospy.Publisher("/clock", Clock, queue_size=100)
+        self.pub_ego_bbox = rospy.Publisher(
+            f"{ns}/ego_robot_bounding_box", Marker, queue_size=1, latch=True
+        )
+        self._tf_broadcaster = None
+        node.publish_clock = lambda m: self.pub_clock.publish(
+            clock_message_to_ros(m)
+        )
+        node.publish_tf = self._send_tf
+        node.publish_ego_bbox = lambda m: self.pub_ego_bbox.publish(
+            marker_message_to_ros(m)
+        )
+
+    def _send_tf(self, msg):
+        if self._tf_broadcaster is None:
+            import tf2_ros
+
+            self._tf_broadcaster = tf2_ros.TransformBroadcaster()
+        self._tf_broadcaster.sendTransform(tf_message_to_ros(msg))
+
     def spin(self):  # pragma: no cover - needs a ROS master
         import rospy
 
         rospy.spin()
+
+
+def tf_message_to_ros(msg):
+    """publish_utils tf dict -> geometry_msgs/TransformStamped."""
+    _require_rospy()
+    import rospy
+    from geometry_msgs.msg import TransformStamped
+
+    out = TransformStamped()
+    s = int(msg["stamp_ns"])
+    out.header.stamp = rospy.Time(secs=s // 10**9, nsecs=s % 10**9)
+    out.header.frame_id = msg["frame_id"]
+    out.child_frame_id = msg["child_frame_id"]
+    t, q = msg["translation"], msg["rotation_xyzw"]
+    out.transform.translation.x, out.transform.translation.y, out.transform.translation.z = t
+    (out.transform.rotation.x, out.transform.rotation.y,
+     out.transform.rotation.z, out.transform.rotation.w) = q
+    return out
+
+
+def clock_message_to_ros(msg):
+    """publish_utils clock dict -> rosgraph_msgs/Clock."""
+    _require_rospy()
+    import rospy
+    from rosgraph_msgs.msg import Clock
+
+    out = Clock()
+    s = int(msg["stamp_ns"])
+    out.clock = rospy.Time(secs=s // 10**9, nsecs=s % 10**9)
+    return out
+
+
+def marker_message_to_ros(msg):
+    """publish_utils marker dict -> visualization_msgs/Marker."""
+    _require_rospy()
+    import rospy
+    from visualization_msgs.msg import Marker
+
+    out = Marker()
+    s = int(msg["stamp_ns"])
+    out.header.stamp = rospy.Time(secs=s // 10**9, nsecs=s % 10**9)
+    out.header.frame_id = msg["frame_id"]
+    out.ns = msg["ns"]
+    out.id = msg["id"]
+    out.type = Marker.CUBE
+    out.color.r, out.color.g, out.color.b, out.color.a = msg["color_rgba"]
+    out.scale.x, out.scale.y, out.scale.z = msg["scale"]
+    (out.pose.position.x, out.pose.position.y, out.pose.position.z) = msg["position"]
+    (out.pose.orientation.x, out.pose.orientation.y,
+     out.pose.orientation.z, out.pose.orientation.w) = msg["orientation_xyzw"]
+    out.frame_locked = msg["frame_locked"]
+    return out

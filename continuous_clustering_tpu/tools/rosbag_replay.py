@@ -46,13 +46,37 @@ def replay(
             ego_robot_frame_from_sensor_frame=np.eye(4),
             wait_for_tf=True,
         )
-    stats = {"messages": 0, "packets": 0, "clusters": 0, "cluster_points": 0}
+    stats = {
+        "messages": 0,
+        "packets": 0,
+        "clusters": 0,
+        "cluster_points": 0,
+        "clock_messages": 0,
+        "tf_messages": 0,
+    }
 
     def on_cluster(pts, stamp):
         stats["clusters"] += 1
         stats["cluster_points"] += len(pts)
 
     node.publish_cluster = on_cluster
+    # clock + tf streams for downstream consumers (reference
+    # kitti_demo.cpp:76-80 / ros_utils.cpp:404-422); collected so a caller
+    # can forward them (RosBridge does, when ROS is present)
+    clock_stream, tf_stream = [], []
+
+    def on_clock(msg):
+        stats["clock_messages"] += 1
+        clock_stream.append(msg)
+
+    def on_tf(msg):
+        stats["tf_messages"] += 1
+        tf_stream.append(msg)
+
+    node.publish_clock = on_clock
+    node.publish_tf = on_tf
+    stats["clock_stream"] = clock_stream
+    stats["tf_stream"] = tf_stream
 
     for msg_topic, datatype, stamp_ns, data in read_messages(bag_path):
         if topic is not None and msg_topic != topic:
@@ -106,7 +130,8 @@ def main(argv=None):
     )
     print(
         f"replayed {stats['messages']} messages / {stats['packets']} packets: "
-        f"{stats['clusters']} clusters ({stats['cluster_points']} points)"
+        f"{stats['clusters']} clusters ({stats['cluster_points']} points), "
+        f"{stats['clock_messages']} clock / {stats['tf_messages']} tf messages"
     )
 
 

@@ -190,3 +190,89 @@ def test_node_raw_packets_to_clusters_with_decode_offload():
     assert clusters, "no clusters published from raw packets"
     assert any(n > 20 for n in clusters)
     assert node.sensor_input.pending_packets() == 0
+
+
+def test_publish_utils_messages():
+    """tf/clock/ego-bbox constructors mirror the reference formulas
+    (src/ros/ros_utils.cpp:404-457)."""
+    from continuous_clustering_tpu.config import GroundSegmentationConfig
+    from continuous_clustering_tpu.io.publish_utils import (
+        make_clock_message,
+        make_ego_bounding_box_marker,
+        make_tf_message,
+        rotation_matrix_to_quaternion,
+    )
+
+    # quaternion: 90 deg about z
+    T = np.eye(4)
+    c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    tf = make_tf_message(T, 5_000_000_123)
+    assert tf["frame_id"] == "odom" and tf["child_frame_id"] == "velo_link"
+    np.testing.assert_allclose(tf["translation"], [1, 2, 3])
+    np.testing.assert_allclose(
+        tf["rotation_xyzw"], [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)],
+        atol=1e-12,
+    )
+    # quaternion round-trips through every Shepperd branch
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = rng.normal(size=3)
+        a /= np.linalg.norm(a)
+        ang = rng.uniform(0, 2 * np.pi)
+        K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+        x, y, z, w = rotation_matrix_to_quaternion(R)
+        R2 = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        np.testing.assert_allclose(R2, R, atol=1e-9)
+
+    assert make_clock_message(7) == {"type": "clock", "stamp_ns": 7}
+
+    gs = GroundSegmentationConfig(
+        height_ref_to_maximum=0.5, height_ref_to_ground=-1.7,
+        length_ref_to_front_end=3.0, length_ref_to_rear_end=-2.0,
+        width_ref_to_left_mirror=1.1, width_ref_to_right_mirror=-1.0,
+    )
+    m = make_ego_bounding_box_marker(42, gs)
+    assert m["scale"] == (5.0, 2.1, 2.2)
+    # center = near_edge + extent/2 (ros_utils.cpp:446-449)
+    np.testing.assert_allclose(m["position"], (-2.0 + 2.5, -1.0 + 1.05, -1.7 + 1.1))
+    assert m["frame_locked"] and m["marker_type"] == "cube"
+    assert m["color_rgba"] == (1.0, 1.0, 1.0, 0.4)
+
+
+def test_node_emits_clock_tf_and_ego_bbox():
+    """The node surfaces clock+tf per firing and the ego bbox at reset
+    (reference kitti_demo.cpp:76-80; consumed by RosBridge / rosbag replay)."""
+    node = make_node()
+    clocks, tfs, bboxes = [], [], []
+    node.publish_clock = clocks.append
+    node.publish_tf = tfs.append
+    node.publish_ego_bbox = bboxes.append
+
+    scene = make_scene(num_boxes=2, seed=1, spread=12.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS)
+    T = np.eye(4)
+    T[:3, 3] = [0.5, 0.0, 0.1]
+    t0 = 1_000_000_000
+    n_firings = 40
+    for c in range(n_firings):
+        stamp = t0 + c * 400_000
+        node.on_transform(stamp + 1, T)
+        node.on_points(xyz[c % NUM_COLS], stamp)
+    node.flush()
+
+    assert len(bboxes) == 1  # once per reset
+    assert bboxes[0]["type"] == "marker" and bboxes[0]["ns"] == "ego_robot"
+    assert len(clocks) == n_firings and len(tfs) == n_firings
+    # stamps rise monotonically with the stream (a downstream consumer can
+    # drive simulated time from this)
+    cs = [m["stamp_ns"] for m in clocks]
+    assert cs == sorted(cs) and cs[0] >= t0
+    np.testing.assert_allclose(tfs[0]["translation"], [0.5, 0.0, 0.1])
+    np.testing.assert_allclose(tfs[0]["rotation_xyzw"], [0, 0, 0, 1])
