@@ -84,6 +84,7 @@ class ContinuousClustering:
 
     def set_transform_robot_frame_from_sensor_frame(self, tf: np.ndarray) -> None:
         self._ego_from_sensor = np.asarray(tf, dtype=np.float64)
+        self._hsg_dev = None
 
     def has_transform_robot_frame_from_sensor_frame(self) -> bool:
         return self._ego_from_sensor is not None
@@ -182,6 +183,33 @@ class ContinuousClustering:
             donate_argnums=(0,),
         )
 
+        # packed-staging variant: the hot streaming loop ships the block as
+        # TWO host buffers (fields + scalars) and one (B, 15) pose buffer;
+        # the ColumnBlock/SegPoses rebuild happens inside the jit, so a
+        # batch costs 3 host->device transfers instead of ~20 (each transfer
+        # pays a dispatch round trip — through the remote TPU link that tax
+        # dominated the streaming rate)
+        B = self._batch_B
+
+        def _packed_block_step(state, fields, scalars, segp, hsg):
+            from ..ops.ingest import unpack_block
+
+            block = unpack_block(fields, scalars)
+            seg = SegPoses(
+                sensor_pos=segp[:, 0:3],
+                ego_rot=segp[:, 3:12].reshape(B, 3, 3),
+                ego_trans=segp[:, 12:15],
+            )
+            return pipeline_step_block(
+                cfg, state, block, seg, hsg,
+                batch_cols=B, slab_cols=self._slab_W,
+            )
+
+        self._jit_block_step_packed = jax.jit(
+            _packed_block_step, donate_argnums=(0,)
+        )
+        self._hsg_dev = None  # cached device scalar (invalidated on config/tf)
+
     def add_firing(self, firing: Dict[str, np.ndarray], odom_from_sensor: np.ndarray) -> None:
         if self._num_rows is None:
             raise RuntimeError("reset(num_rows) must be called before add_firing")
@@ -215,17 +243,13 @@ class ContinuousClustering:
                 fu_before = self._h_first_unpublished
                 if self._host_ins is not None:
                     fu = self._h_first_unfinished
-                    block, trig = self._host_ins.fetch_block(
+                    fields, scalars, trig = self._host_ins.fetch_block_packed(
                         fu, fu, self._batch_B, self._h_origin_rot, False
                     )
-                    hsg = jnp.asarray(
-                        np.float32(
-                            -self._ego_from_sensor[2, 3]
-                            + self._config.ground_segmentation.height_ref_to_ground
-                        )
-                    )
-                    self._state, info = self._jit_block_step(
-                        self._state, block, self._seg_poses(trig), hsg
+                    self._state, info = self._jit_block_step_packed(
+                        self._state, jnp.asarray(fields),
+                        jnp.asarray(scalars),
+                        jnp.asarray(self._seg_poses_packed(trig)), self._hsg(),
                     )
                     self._consume_info(info)
                 else:
@@ -277,6 +301,38 @@ class ContinuousClustering:
             height_sensor_to_ground=jnp.asarray(hsg, jnp.float32),
         )
 
+    def _seg_poses_packed(self, trig_poses: np.ndarray) -> np.ndarray:
+        """Per-column segmentation inputs as ONE (B, 15) f32 buffer:
+        [sensor_pos | ego_rot.reshape(9) | ego_trans] (single transfer;
+        unpacked inside the jitted packed step)."""
+        B = self._batch_B
+        ego = self._ego_from_sensor
+        n = len(trig_poses)
+        out = np.zeros((B, 15), np.float32)
+        if n:
+            rot = trig_poses[:, :3, :3]
+            t = trig_poses[:, :3, 3]
+            out[:n, 0:3] = t
+            rinv = np.swapaxes(rot, 1, 2)
+            tinv = -np.einsum("bij,bj->bi", rinv, t)
+            out[:n, 3:12] = np.einsum(
+                "ij,bjk->bik", ego[:3, :3], rinv
+            ).reshape(n, 9)
+            out[:n, 12:15] = np.einsum("ij,bj->bi", ego[:3, :3], tinv) + ego[:3, 3]
+        return out
+
+    def _hsg(self):
+        """Cached device scalar: sensor height over ground (changes only
+        with the ego transform / configuration)."""
+        if self._hsg_dev is None:
+            self._hsg_dev = jnp.asarray(
+                np.float32(
+                    -self._ego_from_sensor[2, 3]
+                    + self._config.ground_segmentation.height_ref_to_ground
+                )
+            )
+        return self._hsg_dev
+
     def _seg_poses(self, trig_poses: np.ndarray) -> SegPoses:
         """Per-column segmentation inputs from trigger poses (n, 3, 4)."""
         B = self._batch_B
@@ -305,20 +361,16 @@ class ContinuousClustering:
         if reset:
             self._reset_required = True
             return
-        hsg = jnp.asarray(
-            np.float32(
-                -self._ego_from_sensor[2, 3]
-                + self._config.ground_segmentation.height_ref_to_ground
-            )
-        )
+        hsg = self._hsg()
         while True:
-            block, trig = ins.fetch_block(
+            fields, scalars, trig = ins.fetch_block_packed(
                 first, end, self._batch_B, self._h_origin_rot, reset
             )
-            n = int(block.n_cols)
-            seg_poses = self._seg_poses(trig)
-            self._state, info = self._jit_block_step(
-                self._state, block, seg_poses, hsg
+            n = int(scalars[1])
+            segp = self._seg_poses_packed(trig)
+            self._state, info = self._jit_block_step_packed(
+                self._state, jnp.asarray(fields), jnp.asarray(scalars),
+                jnp.asarray(segp), hsg,
             )
             if self._config.general.is_single_threaded:
                 self._consume_info(info)

@@ -87,13 +87,9 @@ class HostInsertion:
         )
         return int(first.value), int(end), bool(reset.value)
 
-    def fetch_block(
-        self, first: int, end: int, B: int, origin_rot: int, reset: bool
-    ) -> Tuple[ColumnBlock, np.ndarray]:
-        """Fetch columns [first, min(end, first+B)) as a padded ColumnBlock
-        plus the per-column trigger pose array (n, 3, 4)."""
+    def _fetch_columns_np(self, first: int, n: int, B: int, origin_rot: int):
+        """Raw host-side column fetch into numpy buffers (no device work)."""
         R = self.R
-        n = min(end - first, B) if end > first else 0
         bufs = {k: np.full((B, R), np.nan, np.float32)
                 for k in ("x", "y", "z", "dist", "az", "inc")}
         caz = np.full((B, R), np.nan, np.float64)
@@ -112,7 +108,60 @@ class HostInsertion:
                 inten.ctypes.data_as(ctypes.c_void_p),
                 pose_idx.ctypes.data_as(ctypes.c_void_p),
             )
-        caz_rel = (caz - TWO_PI * origin_rot).astype(np.float32)
+        bufs["caz_rel"] = (caz - TWO_PI * origin_rot).astype(np.float32)
+        return bufs, stamp, uidxv, inten, pose_idx
+
+    def fetch_block_packed(
+        self, first: int, end: int, B: int, origin_rot: int, reset: bool
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fetch columns [first, min(end, first+B)) as packed staging buffers
+        (fields (N_BLOCK_FIELDS, R, B) i32, scalars (N_BLOCK_SCALARS,) i32)
+        plus the per-column trigger pose array (n, 3, 4).
+
+        The packed form stages to device in TWO transfers total; the jitted
+        step rebuilds the ColumnBlock via ``ops.ingest.unpack_block``."""
+        from ..ops.ingest import N_BLOCK_FIELDS, N_BLOCK_SCALARS
+
+        R = self.R
+        n = min(end - first, B) if end > first else 0
+        bufs, stamp, uidxv, inten, pose_idx = self._fetch_columns_np(
+            first, n, B, origin_rot
+        )
+        fields = np.empty((N_BLOCK_FIELDS, R, B), np.int32)
+        for i, k in enumerate(("x", "y", "z", "dist", "az", "inc", "caz_rel")):
+            fields[i] = bufs[k].view(np.int32).T
+        fields[7] = (stamp & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).T
+        fields[8] = (stamp >> np.uint64(32)).astype(np.uint32).view(np.int32).T
+        fields[9] = (uidxv & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).T
+        fields[10] = (uidxv >> np.uint64(32)).astype(np.uint32).view(np.int32).T
+        fields[11] = inten.T
+        fields[12] = np.maximum(pose_idx, 0)[None, :]
+        scalars = np.zeros(N_BLOCK_SCALARS, np.int32)
+        scalars[0] = first
+        scalars[1] = n
+        scalars[2] = max(end, 0)
+        scalars[3] = max(end, self.prev_foremost)
+        scalars[4] = first + n
+        scalars[5] = self.fu_init if self.fu_init >= 0 else first
+        scalars[6] = int(reset)
+        poses = self._poses[np.clip(pose_idx[:n], 0, len(self._poses) - 1)]
+        if self.fu_init < 0 and n > 0:
+            self.fu_init = first
+        return fields, scalars, poses
+
+    def fetch_block(
+        self, first: int, end: int, B: int, origin_rot: int, reset: bool
+    ) -> Tuple[ColumnBlock, np.ndarray]:
+        """Fetch columns [first, min(end, first+B)) as a padded ColumnBlock
+        of device arrays plus the trigger pose array (n, 3, 4).
+
+        Compatibility path (one transfer per field); the hot streaming loop
+        uses ``fetch_block_packed`` + in-jit unpack instead."""
+        R = self.R
+        n = min(end - first, B) if end > first else 0
+        bufs, stamp, uidxv, inten, pose_idx = self._fetch_columns_np(
+            first, n, B, origin_rot
+        )
 
         def t(a, dt=jnp.float32):
             return jnp.asarray(a.T, dt)  # (R, B)
@@ -122,7 +171,7 @@ class HostInsertion:
             n_cols=jnp.asarray(n, jnp.int32),
             x=t(bufs["x"]), y=t(bufs["y"]), z=t(bufs["z"]),
             distance=t(bufs["dist"]), azimuth=t(bufs["az"]),
-            inclination=t(bufs["inc"]), cont_az=t(caz_rel),
+            inclination=t(bufs["inc"]), cont_az=t(bufs["caz_rel"]),
             stamp_lo=jnp.asarray((stamp & np.uint64(0xFFFFFFFF)).T, jnp.uint32),
             stamp_hi=jnp.asarray((stamp >> np.uint64(32)).T, jnp.uint32),
             uidx_lo=jnp.asarray((uidxv & np.uint64(0xFFFFFFFF)).T, jnp.uint32),

@@ -154,7 +154,10 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
 
     from .cc_pallas import edge_bits_pallas, pallas_enabled
 
-    if pallas_enabled(B) and not cl.record_neighbor_stats:
+    import os as _os
+
+    if (pallas_enabled(B) and not cl.record_neighbor_stats
+            and _os.environ.get("CCT_PALLAS_BITS", "1") == "1"):
         # fused VMEM neighbor-search kernel (bit-identical to the stack
         # formulation below; validated in tests/test_cc_pallas.py)
         max_wp_k = jnp.max(jnp.where(active_b, wp, 0))
@@ -608,7 +611,8 @@ def associate_and_complete(
         return "unrolled" if platform in ("tpu", "axon") else "vectorized"
 
     mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
-    if pallas_enabled(B) and brev is not None:
+    if (pallas_enabled(B) and brev is not None
+            and os.environ.get("CCT_PALLAS_CC", "1") == "1"):
         Lw, cc_ok = window_cc_pallas(config, bits, brev, active_w, L0, B, max_wp)
     elif mode == "fori":
         Lw, cc_ok = _window_cc(config, bits, active_w, L0, B, max_wp)

@@ -205,6 +205,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     def jump(L):
         f = L.reshape(-1)
         f = jnp.take(f, f)
+        f = jnp.take(f, f)
         return f.reshape(R, WCOL)
 
     def cond(c):
@@ -220,12 +221,13 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         L, _, it = c
         L2, d = sweep_pallas(config, bits, brev, occ, L, max_wp)
         changed = d[0, 0] > 0
-        # the HBM-scale jump gather (+ the cond's buffer churn) costs as
-        # much as a sweep launch; compress chains only every third
-        # unconverged round — in-place propagation handles the rest
-        L3 = jax.lax.cond(
-            changed & (it % 3 == 2), jump, lambda l: l, L2
-        )
+        # double pointer-jump every unconverged round, matching cc_converge:
+        # the jump gather costs ~a sweep launch, but only runs while
+        # unconverged, and without it long label chains need O(chain)
+        # sweeps — at wide batches that exceeds any reasonable cap (the
+        # every-3rd-round variant tripped the 64-round non-convergence
+        # guard at B=384)
+        L3 = jax.lax.cond(changed, jump, lambda l: l, L2)
         return L3, changed, it + 1
 
     L, changed, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))

@@ -45,6 +45,45 @@ class ColumnBlock(NamedTuple):
     reset_required: jax.Array
 
 
+# packed single-transfer staging: the (R, B) fields of a ColumnBlock as rows
+# of ONE i32 buffer (f32/u32 bitcast), so host->device staging costs two
+# transfers (fields + scalars) instead of ~20 — through a remote TPU link
+# each dispatch pays the round trip, and even on PCIe fewer/larger copies win
+BLOCK_F32_FIELDS = ("x", "y", "z", "distance", "azimuth", "inclination",
+                    "cont_az")
+BLOCK_U32_FIELDS = ("stamp_lo", "stamp_hi", "uidx_lo", "uidx_hi")
+BLOCK_I32_FIELDS = ("intensity", "firing_index")
+N_BLOCK_FIELDS = len(BLOCK_F32_FIELDS) + len(BLOCK_U32_FIELDS) + len(BLOCK_I32_FIELDS)
+# scalar row order (i32): gcol0, n_cols, prev_rearmost, prev_foremost,
+# first_unfinished, first_unpublished_init, reset_required, (pad)
+N_BLOCK_SCALARS = 8
+
+
+def unpack_block(fields: jax.Array, scalars: jax.Array) -> ColumnBlock:
+    """Rebuild a ColumnBlock inside jit from the packed staging buffers
+    (``HostInsertion.fetch_block_packed``): fields (N_BLOCK_FIELDS, R, B)
+    i32, scalars (N_BLOCK_SCALARS,) i32."""
+    bc = jax.lax.bitcast_convert_type
+    kw = {}
+    i = 0
+    for name in BLOCK_F32_FIELDS:
+        kw[name] = bc(fields[i], jnp.float32)
+        i += 1
+    for name in BLOCK_U32_FIELDS:
+        kw[name] = bc(fields[i], jnp.uint32)
+        i += 1
+    for name in BLOCK_I32_FIELDS:
+        kw[name] = fields[i]
+        i += 1
+    return ColumnBlock(
+        gcol0=scalars[0], n_cols=scalars[1],
+        prev_rearmost=scalars[2], prev_foremost=scalars[3],
+        first_unfinished=scalars[4], first_unpublished_init=scalars[5],
+        reset_required=scalars[6].astype(bool),
+        **kw,
+    )
+
+
 def ingest_columns(config: Config, state: RingState, block: ColumnBlock,
                    batch_size: int) -> RingState:
     R = state.num_rows
