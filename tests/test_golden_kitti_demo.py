@@ -88,3 +88,68 @@ def test_kitti_demo_tables_match_reference(tmp_path):
         "metric tables diverge:\nREF:\n" + "\n".join(ref_table)
         + "\nOURS:\n" + "\n".join(our_table)
     )
+
+
+def test_kitti_demo_real_semantic_kitti(tmp_path):
+    """Real-data parity: runs both demos on a mounted SemanticKITTI dataset
+    (first frames of sequence 00) and requires identical metric tables.
+
+    Skipped unless the dataset is present.  Mount recipe: place (or symlink)
+    the SemanticKITTI odometry layout at $CCT_SEMANTIC_KITTI (default
+    /data/semantic_kitti), i.e. <root>/00/velodyne/*.bin + labels/ +
+    times.txt + calib.txt + poses.txt, with euclidean-clustering GT labels
+    either pre-cached in labels_euclidean_clustering/ or generated first via
+    `python -m continuous_clustering_tpu.tools.gt_label_generator <root> 00`
+    (reference workflow: README.md:211-245).  Layout can be validated with
+    scripts/check_semantic_kitti_layout.py."""
+    import os
+
+    root = Path(os.environ.get("CCT_SEMANTIC_KITTI", "/data/semantic_kitti"))
+    seq = root / "00"
+    if not (seq / "velodyne").is_dir() or not (seq / "labels").is_dir():
+        pytest.skip(f"no SemanticKITTI mount at {root} (set CCT_SEMANTIC_KITTI)")
+    if not (seq / "labels_euclidean_clustering").is_dir():
+        pytest.skip(
+            "euclidean-clustering GT labels missing; generate with "
+            f"gt_label_generator {root} 00"
+        )
+    n_frames = int(os.environ.get("CCT_SEMANTIC_KITTI_FRAMES", "20"))
+
+    # both demos consume a root of sequence dirs; build a pruned view with
+    # only the first n frames so the parity check stays fast
+    view = tmp_path / "view" / "00"
+    for sub in ("velodyne", "labels", "labels_euclidean_clustering"):
+        (view / sub).mkdir(parents=True)
+        for f in sorted((seq / sub).iterdir())[:n_frames]:
+            (view / sub / f.name).symlink_to(f)
+    for meta in ("times.txt", "calib.txt", "poses.txt"):
+        if (seq / meta).exists():
+            (view / meta).symlink_to(seq / meta)
+
+    binary = build_demo(tmp_path)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    r = subprocess.run(
+        [str(binary), str(view.parent), "--evaluate-fast"],
+        cwd=ref_dir, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    ref_table = metric_lines((ref_dir / "evaluation_results.txt").read_text())
+
+    our_dir = tmp_path / "ours"
+    our_dir.mkdir()
+    import os as _os
+
+    from continuous_clustering_tpu.tools.kitti_demo import main as demo_main
+
+    cwd = _os.getcwd()
+    _os.chdir(our_dir)
+    try:
+        demo_main([str(view.parent), "00", "--evaluate-fast", "--firing-batch", "256"])
+    finally:
+        _os.chdir(cwd)
+    our_table = metric_lines((our_dir / "evaluation_results.txt").read_text())
+    assert ref_table == our_table, (
+        "metric tables diverge on real data:\nREF:\n" + "\n".join(ref_table)
+        + "\nOURS:\n" + "\n".join(our_table)
+    )
