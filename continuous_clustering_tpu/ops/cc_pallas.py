@@ -254,8 +254,7 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
                       x_ref, y_ref, z_ref, inc_ref, act_ref,
                       mad_ref, wp_ref, upper_ref,
                       bits_ref, brev_ref,
-                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar, r0, r1,
-                      w0_ref, w1_ref):
+                      xp, yp, zp, ip, ap, xr, yr, zr, ir, ar):
     n_dr = 2 * V + 1
     PW = _padded_width(WCOL, H)
     PR = R + 2 * V
@@ -269,11 +268,18 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
     ap[:, :] = jnp.zeros((PR, PW), jnp.int32)
     ap[V : V + R, H : H + WCOL] = act_ref[:, :]
 
-    # batch-centered quantities (window cols [H, H+WCOL) -> batch at 2H..)
-    xb = xp[V : V + R, 2 * H : 2 * H + B]
-    yb = yp[V : V + R, 2 * H : 2 * H + B]
-    zb = zp[V : V + R, 2 * H : 2 * H + B]
-    incb = ip[V : V + R, 2 * H : 2 * H + B]
+    # batch-centered quantities, pre-rolled so batch columns sit at lanes
+    # [0, B).  All per-point reads below slice at lane offset 0: Mosaic
+    # assigns offset-{0,0} layouts throughout, which the sublane/lane
+    # concatenates in the reverse-mask construction require (concat inputs
+    # must agree on non-concat-dim offsets; slices at lane 2H carry a
+    # lane-40 layout that mismatches the zero fills).
+    roll_b = PW - 2 * H  # ≡ -2H (mod PW), kept non-negative
+    xb = pltpu.roll(xp[:, :], roll_b, axis=1)[V : V + R, 0:B]
+    yb = pltpu.roll(yp[:, :], roll_b, axis=1)[V : V + R, 0:B]
+    zb = pltpu.roll(zp[:, :], roll_b, axis=1)[V : V + R, 0:B]
+    incb = pltpu.roll(ip[:, :], roll_b, axis=1)[V : V + R, 0:B]
+    ab = pltpu.roll(ap[:, :], roll_b, axis=1)[V : V + R, 0:B]
     mad = mad_ref[:, :]
     wp = wp_ref[:, :]
 
@@ -281,34 +287,28 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
     brev_ref[:, :, :, :] = jnp.zeros((H + 1, 2, R, WCOL), jnp.int32)
 
     def body(dc, _):
-        # one lane rotation per field per dc; row offsets then read static
-        # sublane slices of the rotated tiles
-        xr[:, :] = pltpu.roll(xp[:, :], dc, axis=1)
-        yr[:, :] = pltpu.roll(yp[:, :], dc, axis=1)
-        zr[:, :] = pltpu.roll(zp[:, :], dc, axis=1)
-        ir[:, :] = pltpu.roll(ip[:, :], dc, axis=1)
-        ar[:, :] = pltpu.roll(ap[:, :], dc, axis=1)
+        # one lane rotation per field per dc, composed with the -2H batch
+        # alignment; row offsets then read static sublane slices of the
+        # rotated tiles at lane offset 0 (see layout note above)
+        shift = dc + roll_b
+        xr[:, :] = pltpu.roll(xp[:, :], shift, axis=1)
+        yr[:, :] = pltpu.roll(yp[:, :], shift, axis=1)
+        zr[:, :] = pltpu.roll(zp[:, :], shift, axis=1)
+        ir[:, :] = pltpu.roll(ip[:, :], shift, axis=1)
+        ar[:, :] = pltpu.roll(ap[:, :], shift, axis=1)
 
         dgt = (dc > 0).astype(jnp.int32)  # scalar: down/dr0 need dc > 0
-        ab = ap[V : V + R, 2 * H : 2 * H + B]  # the point's own active bit
         gate = (wp >= dc).astype(jnp.int32) * ab
-        # reverse-mask accumulators: bit dr at (q_r, q_wc) = forward edge of
-        # the source point (q_r - dr, q_wc + dc); built here so the CC sweep
-        # needs no per-(dc, dr) mask rolls at all
-        r0[:, :] = jnp.zeros((PR, PW), jnp.int32)
-        r1[:, :] = jnp.zeros((PR, PW), jnp.int32)
-        w0_ref[:, :] = jnp.zeros((R, B), jnp.int32)
-        w1_ref[:, :] = jnp.zeros((R, B), jnp.int32)
 
         def ok_at(i):
-            ninc = ir[i : i + R, 2 * H : 2 * H + B]
+            ninc = ir[i : i + R, 0:B]
             return 1 - (jnp.abs(ninc - incb) > mad).astype(jnp.int32)
 
         def edge_at(i, reach):
-            nx = xr[i : i + R, 2 * H : 2 * H + B]
-            ny = yr[i : i + R, 2 * H : 2 * H + B]
-            nz = zr[i : i + R, 2 * H : 2 * H + B]
-            na = ar[i : i + R, 2 * H : 2 * H + B]
+            nx = xr[i : i + R, 0:B]
+            ny = yr[i : i + R, 0:B]
+            nz = zr[i : i + R, 0:B]
+            na = ar[i : i + R, 0:B]
             dx = nx - xb
             dy = ny - yb
             dz = nz - zb
@@ -319,41 +319,75 @@ def _edge_bits_kernel(H: int, V: int, R: int, B: int, WCOL: int,
         # the up walk starts at ok(-1) for dc == 0 and at ok(0) for dc > 0
         ok0f = 1 - dgt * (1 - ok0)
 
-        def emit(i, e):
-            # scratch-ref accumulation (NOT python rebinding): emits happen
-            # inside pl.when blocks, whose effects persist only through refs
-            if i < 32:
-                w0_ref[:, :] = w0_ref[:, :] | (e << i)
-                r0[i : i + R, 2 * H : 2 * H + B] = (
-                    r0[i : i + R, 2 * H : 2 * H + B] | (e << i)
-                )
-            else:
-                w1_ref[:, :] = w1_ref[:, :] | (e << (i - 32))
-                r1[i : i + R, 2 * H : 2 * H + B] = (
-                    r1[i : i + R, 2 * H : 2 * H + B] | (e << (i - 32))
-                )
-
+        # ALL accumulation below is pure SSA on values (python rebinding) —
+        # NOT scratch-ref read-modify-write.  The earlier ref-based
+        # formulation (zero-fill a scratch, then `ref |= e << i` per row
+        # offset) miscompiled on-chip: every emit issued before the third
+        # down-walk step was silently dropped (interpret mode and the XLA
+        # path agreed; the compiled kernel lost all near-vertical edges),
+        # i.e. the zero-fill store was scheduled into the middle of the
+        # accumulation chain.  Value dataflow makes the ordering structural.
+        emits = []  # (row offset i, (R, B) edge mask)
         # dr = 0 (never an edge in the first column, …cpp:712)
-        emit(V, edge_at(V, ok0 * dgt))
+        emits.append((V, edge_at(V, ok0 * dgt)))
 
         up_acc = ok0f
         for k in range(1, V + 1):
             i = V - k
             up_acc = up_acc * ok_at(i)
-            emit(i, edge_at(i, up_acc))
+            emits.append((i, edge_at(i, up_acc)))
 
         dn_acc = dgt
         for k in range(1, V + 1):
             i = V + k
             dn_acc = dn_acc * ok_at(i)
-            emit(i, edge_at(i, dn_acc))
+            emits.append((i, edge_at(i, dn_acc)))
 
-        bits_ref[dc, 0] = w0_ref[:, :]
-        bits_ref[dc, 1] = w1_ref[:, :]
-        # reverse words: writes happened at cols [2H, 2H+B); the true q
-        # column is (b + H - dc), i.e. a roll by -dc
-        brev_ref[dc, 0] = pltpu.roll(r0[:, :], -dc, axis=1)[V : V + R, H : H + WCOL]
-        brev_ref[dc, 1] = pltpu.roll(r1[:, :], -dc, axis=1)[V : V + R, H : H + WCOL]
+        w0 = jnp.zeros((R, B), jnp.int32)
+        w1 = jnp.zeros((R, B), jnp.int32)
+        # reverse-mask strips: bit dr at (q_r, q_wc) = forward edge of the
+        # source point (q_r - dr, q_wc + dc); built here so the CC sweep
+        # needs no per-(dc, dr) mask rolls at all.  All emits share the
+        # column range [2H, 2H+B), so row placement is a sublane-axis
+        # concatenate (DUS / .at on values does not lower in Mosaic TC).
+        rv0 = jnp.zeros((PR, B), jnp.int32)
+        rv1 = jnp.zeros((PR, B), jnp.int32)
+        def placed(v, i):
+            # v placed at rows [i, i+R) of a (PR, B) strip: offset-0
+            # aligned concat (Mosaic rejects concats at unaligned sublane
+            # offsets) + static sublane roll.  Rows [R, PR) are zero and
+            # i <= PR - R, so the roll wrap-around brings in only zeros.
+            base = jnp.concatenate(
+                [v, jnp.zeros((PR - R, B), jnp.int32)], axis=0
+            )
+            return pltpu.roll(base, i, axis=0) if i else base
+
+        for i, e in emits:
+            if i < 32:
+                w0 = w0 | (e << i)
+                rv0 = rv0 | placed(e << i, i)
+            else:
+                w1 = w1 | (e << (i - 32))
+                rv1 = rv1 | placed(e << (i - 32), i)
+
+        bits_ref[dc, 0] = w0
+        bits_ref[dc, 1] = w1
+        # reverse words: strip batch col b lands at window col (b + H - dc).
+        # Place the strip at canvas cols [H, H+B) (window coords start at
+        # canvas col 0 here) and roll by -dc; the output slice then starts
+        # at lane 0, keeping every concat/store at offset-{0,0} layouts.
+        for rv, word in ((rv0, 0), (rv1, 1)):
+            canvas = jnp.concatenate(
+                [
+                    jnp.zeros((PR, H), jnp.int32),
+                    rv,
+                    jnp.zeros((PR, PW - H - B), jnp.int32),
+                ],
+                axis=1,
+            )
+            brev_ref[dc, word] = pltpu.roll(canvas, PW - dc, axis=1)[
+                V : V + R, 0:WCOL
+            ]
         return 0
 
     jax.lax.fori_loop(0, upper_ref[0, 0], body, 0)
@@ -377,8 +411,6 @@ def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
     kernel = functools.partial(_edge_bits_kernel, H, V, R, B, WCOL, max_d2)
     f32s = [pltpu.VMEM((PR, PW), jnp.float32) for _ in range(4)]
     i32s = [pltpu.VMEM((PR, PW), jnp.int32)]
-    rev_acc = [pltpu.VMEM((PR, PW), jnp.int32) for _ in range(2)]
-    word_acc = [pltpu.VMEM((R, B), jnp.int32) for _ in range(2)]
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -391,7 +423,7 @@ def edge_bits_pallas(config: Config, xw, yw, zw, incw, active_w, mad, wp,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=f32s + i32s + f32s + i32s + rev_acc + word_acc,
+        scratch_shapes=f32s + i32s + f32s + i32s,
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
     )(
         xw, yw, zw, incw, active_w.astype(jnp.int32),
