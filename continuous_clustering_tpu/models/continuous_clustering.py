@@ -493,6 +493,21 @@ class ContinuousClustering:
     def _emit_clusters(
         self, from_gcol: int, to_gcol: int, counter_old: int, counter_new: int
     ) -> None:
+        from ..io import native_readout
+
+        if native_readout.available():
+            got = self._fetch_slab(from_gcol, to_gcol - from_gcol)
+            if got is not None:
+                slab, off = got
+                groups = native_readout.emit_clusters(
+                    slab, off, to_gcol - from_gcol, from_gcol,
+                    self._state.ring_cols,
+                    TWO_PI * self._h_origin_rot, counter_old, counter_new,
+                    self._config.clustering.use_last_point_for_cluster_stamp,
+                )
+                for group, stamp in groups:
+                    self.finished_cluster_callback(group, stamp)
+                return
         cloud = self.get_columns(from_gcol, to_gcol - 1, ProcessingStage.CONTINUOUS_CLUSTERING)
         ids = cloud["id"]
         # bound above too: in async mode the state may already contain ids
@@ -526,47 +541,32 @@ class ContinuousClustering:
             self._h_origin_rot += delta
 
     # ---------------------------------------------------------------- access
-    def _fetch_packed(self, from_gcol: int, n: int):
-        """Fetch all per-cell readout fields for ``n`` columns.
+    def _fetch_slab(self, from_gcol: int, n: int):
+        """Fetch the packed (n_fields, R, width) i32 readout slab covering
+        ``[from_gcol, from_gcol + n)`` as ``(slab_np, column offset)``.
 
         Fast path: the requested range is covered by the publish slab that
         rode the last consumed step's outputs — served with ZERO extra
         dispatches (at most one transfer, on first touch).  Otherwise one
-        jitted dispatch + one transfer of a (n_fields, R, width) i32 slab
-        (f32/u32 bitcast); widths are bucketed to powers of two so at most
-        ~log2(ring) programs compile."""
+        jitted dispatch + one transfer; widths are bucketed to powers of two
+        so at most ~log2(ring) programs compile.  Returns ``None`` when the
+        range exceeds the ring (legacy modular-gather path)."""
         import jax
 
-        from ..ops.readout import FETCH_ORDER, packed_readout, unpack_slab
+        from ..ops.readout import packed_readout
 
         if self._slab is not None:
             lo, hi, dev = self._slab
             if from_gcol >= lo and from_gcol + n <= hi:
                 if self._slab_np is None:
                     self._slab_np = np.asarray(dev)
-                return unpack_slab(self._slab_np, from_gcol - lo, n)
+                return self._slab_np, from_gcol - lo
 
         rc = self._state.ring_cols
         bucket = max(8, 1 << max(0, n - 1).bit_length())
         bucket = min(bucket, rc)
-        if bucket < n:  # range exceeds the ring: legacy modular-gather path
-            lcols = jnp.asarray(
-                (from_gcol + np.arange(n)) % rc, jnp.int32
-            )
-            out = {
-                f: np.asarray(getattr(self._state, f)[:, lcols])
-                for f in FETCH_ORDER
-            }
-            out["is_ignored"] = out["is_ignored"].astype(np.int32)
-            sp = np.asarray(self._state.slot_parent)
-            cid = np.asarray(self._state.slot_cid)
-            rep = np.asarray(self._state.slot_rep)
-            slots = out["slot"]
-            res = sp[np.maximum(slots, 0)]
-            has = slots >= 0
-            out["cell_cid"] = np.where(has, cid[res], 0)
-            out["cell_rep"] = np.where(has, rep[res], -1)
-            return out
+        if bucket < n:  # range exceeds the ring
+            return None
 
         fn = self._fetch_cache.get(bucket)
         if fn is None:
@@ -575,7 +575,34 @@ class ContinuousClustering:
 
         self.n_fetch_dispatches += 1
         slab = np.asarray(fn(self._state, jnp.asarray(from_gcol % rc, jnp.int32)))
-        return unpack_slab(slab, 0, n)
+        return slab, 0
+
+    def _fetch_packed(self, from_gcol: int, n: int):
+        """Per-field dict of all readout fields for ``n`` columns (the NumPy
+        ``get_columns`` path consumes this; the native path reads the slab
+        directly via ``_fetch_slab``)."""
+        from ..ops.readout import FETCH_ORDER, unpack_slab
+
+        got = self._fetch_slab(from_gcol, n)
+        if got is not None:
+            return unpack_slab(got[0], got[1], n)
+
+        rc = self._state.ring_cols
+        lcols = jnp.asarray((from_gcol + np.arange(n)) % rc, jnp.int32)
+        out = {
+            f: np.asarray(getattr(self._state, f)[:, lcols])
+            for f in FETCH_ORDER
+        }
+        out["is_ignored"] = out["is_ignored"].astype(np.int32)
+        sp = np.asarray(self._state.slot_parent)
+        cid = np.asarray(self._state.slot_cid)
+        rep = np.asarray(self._state.slot_rep)
+        slots = out["slot"]
+        res = sp[np.maximum(slots, 0)]
+        has = slots >= 0
+        out["cell_cid"] = np.where(has, cid[res], 0)
+        out["cell_rep"] = np.where(has, rep[res], -1)
+        return out
 
     @property
     def state(self) -> RingState:
@@ -610,6 +637,17 @@ class ContinuousClustering:
         gcols = np.arange(from_gcol, to_gcol + 1)
         lcols = gcols % rc
         n = len(gcols)
+
+        if stage == ProcessingStage.CONTINUOUS_CLUSTERING:
+            from ..io import native_readout
+
+            if native_readout.available():
+                got = self._fetch_slab(from_gcol, n)
+                if got is not None:
+                    return native_readout.assemble_cloud(
+                        got[0], got[1], n, from_gcol, rc,
+                        TWO_PI * self._h_origin_rot,
+                    )
 
         fetched = self._fetch_packed(from_gcol, n)
 

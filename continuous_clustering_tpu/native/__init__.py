@@ -85,3 +85,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.cct_offload_drain.argtypes = [c.c_void_p]
     lib.cct_offload_poll.restype = c.c_int
     lib.cct_offload_poll.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p]
+
+    lib.cct_readout_record_size.restype = c.c_int64
+    lib.cct_readout_record_size.argtypes = []
+    lib.cct_assemble_cloud.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+        c.c_int64, c.c_int64, c.c_double, c.c_void_p,
+    ]
+    lib.cct_emit_clusters.restype = c.c_int64
+    lib.cct_emit_clusters.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+        c.c_int64, c.c_int64, c.c_double, c.c_int64, c.c_int64, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p,
+    ]

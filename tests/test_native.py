@@ -574,3 +574,78 @@ def test_velodyne_native_matches_python_interpolated():
         )
         np.testing.assert_array_equal(a["intensity"], b["intensity"])
         np.testing.assert_array_equal(a["stamp"], b["stamp"])
+
+
+# ---------------------------------------------------------------------------
+# Native publish-path readout (native/src/readout.cpp): record assembly and
+# cluster grouping must match the NumPy get_columns/_emit_clusters paths
+# exactly (reference: columnToPointCloud / clusterToPointCloud,
+# src/ros/ros_utils.cpp:34-107).
+# ---------------------------------------------------------------------------
+
+
+def _streamed_pipe_outputs(cfg, firings, num_rows, use_native):
+    from continuous_clustering_tpu.io import native_readout
+    from continuous_clustering_tpu.io.point_cloud import ProcessingStage
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    native_readout._AVAILABLE = use_native
+    try:
+        pipe = ContinuousClustering(cfg, firing_batch_size=64)
+        pipe.reset(num_rows)
+        pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+        clusters = []
+        pipe.set_finished_cluster_callback(
+            lambda pts, stamp: clusters.append((pts.copy(), stamp))
+        )
+        for _ in range(2):
+            for f in firings:
+                pipe.add_firing(dict(f), np.eye(4))
+        pipe.flush()
+        fu = pipe.first_unpublished_global_column_index
+        cols = pipe.get_columns(
+            max(0, fu - 128), fu - 1, ProcessingStage.CONTINUOUS_CLUSTERING
+        )
+    finally:
+        native_readout._AVAILABLE = None
+    return clusters, cols
+
+
+def test_native_readout_matches_numpy():
+    from continuous_clustering_tpu.io import native_readout
+
+    assert native_readout.available(), "layout drift broke the native readout"
+    import continuous_clustering_tpu as cct
+
+    cfg = cct.kitti_config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=NUM_COLS * 2, ring_buffer_revolutions=4
+        )
+    )
+    scene = make_scene(num_boxes=8, seed=3, spread=25.0, min_radius=4.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS * 2, seed=1)
+    firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10**8)
+
+    cn, coln = _streamed_pipe_outputs(cfg, firings, NUM_ROWS, True)
+    cp, colp = _streamed_pipe_outputs(cfg, firings, NUM_ROWS, False)
+
+    assert len(cn) == len(cp) > 0
+    for (gn, sn), (gp, sp) in zip(cn, cp):
+        assert sn == sp
+        assert len(gn) == len(gp)
+        for f in gn.dtype.names:
+            a, b = gn[f], gp[f]
+            if a.dtype.kind == "f":
+                np.testing.assert_array_equal(a, b, err_msg=f)
+            else:
+                assert np.array_equal(a, b), f
+    assert coln.dtype == colp.dtype
+    for f in coln.dtype.names:
+        a, b = coln[f], colp[f]
+        if a.dtype.kind == "f":
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        else:
+            assert np.array_equal(a, b), f
