@@ -63,19 +63,36 @@ def main():
         key = name.split(" = ")[0]
         agg[key] += ev.duration_ps
         meta_full.setdefault(key, name)
+    # annotate op names from the compiled HLO: root instruction + metadata
+    # (fusion.NNN / while.NNN names alone are unreadable)
+    import re
+
+    notes = {}
+    try:
+        lowered = runner.lower(state, revs[1][0], revs[1][1], hsg)  # type: ignore[attr-defined]
+        hlo = lowered.compile().as_text()
+        for ln in hlo.splitlines():
+            dm = re.search(r"(%[\w.-]+)\s*=\s*\S+\s+(\w+)\(", ln)
+            if dm and "metadata=" in ln:
+                sm = re.search(r'op_name="([^"]*)"', ln)
+                fm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', ln)
+                note = sm.group(1)[-70:] if sm else dm.group(2)
+                if fm:
+                    note += f" @{os.path.basename(fm.group(1))}:{fm.group(2)}"
+                notes.setdefault(dm.group(1).lstrip("%"), note)
+    except Exception as e:  # noqa: BLE001
+        print(f"(hlo annotation unavailable: {e})")
+
     steps = int(revs[0][0].gcol0.shape[0])
     print(f"{steps} steps per revolution; top ops (ms/rev | src):")
-    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
         src = ""
         full = meta_full[k]
-        if "source_line" in full:
-            pass
-        import re
-
         m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', full)
         if m:
             src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
-        print(f"  {v/1e9:8.3f}  {k:22s} {src}")
+        note = notes.get(k, "")
+        print(f"  {v/1e9:8.3f}  {k:22s} {src} {note}")
 
 
 if __name__ == "__main__":
