@@ -97,7 +97,7 @@ class ClusteringNode:
 
         # reset on time jumps or config change (…node.cpp:110-131)
         if self._last_stamp is not None and abs(stamp - self._last_stamp) > self.MAX_TIME_JUMP_NS:
-            self.reset(len(firing["xyz"]))
+            self.reset(len(firing["xyz"]), stale_time_base=True)
         self._last_stamp = stamp
 
         if self.clustering.reset_required() or self._num_rows is None:
@@ -134,10 +134,17 @@ class ClusteringNode:
             self.publish_cluster(points, stamp)
 
     # ------------------------------------------------------------- control
-    def reset(self, num_rows: int) -> None:
-        """(reference …node.cpp:87-102)."""
+    def reset(self, num_rows: int, stale_time_base: bool = False) -> None:
+        """(reference …node.cpp:87-102).
+
+        ``stale_time_base`` discards buffered transforms too — only correct
+        for genuine time jumps.  The startup / reconfigure reset must keep
+        them: with an async decode thread, firings can arrive *after* all
+        transforms were buffered, and wiping poses here would strand every
+        queued firing in the synchronizer forever.
+        """
         self._num_rows = num_rows
-        self.tf_sync.reset()
+        self.tf_sync.reset(clear_poses=stale_time_base)
         self.clustering.reset(num_rows)
         self.clustering.set_transform_robot_frame_from_sensor_frame(self.ego_from_sensor)
         self.sensor_input.reset()

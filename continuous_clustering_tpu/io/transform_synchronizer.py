@@ -28,8 +28,17 @@ class TransformSynchronizer:
     def set_callback(self, cb: Callable[[object, np.ndarray], None]) -> None:
         self._cb = cb
 
-    def reset(self) -> None:
-        self._poses.clear()
+    def reset(self, clear_poses: bool = False) -> None:
+        """Drop queued messages; keep the pose history unless asked.
+
+        The reference's reset re-arms the synchronizer but the tf *buffer*
+        lives in ROS's global listener and is never cleared
+        (ros_transform_synchronizer.hpp:30-44) — so transforms received
+        before a reset must stay usable.  ``clear_poses=True`` is for
+        genuine time jumps, where the old time base is meaningless.
+        """
+        if clear_poses:
+            self._poses.clear()
         self._queue.clear()
 
     def add_transform(self, stamp: int, pose: np.ndarray) -> None:

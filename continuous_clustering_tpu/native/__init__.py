@@ -69,7 +69,8 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.cct_ouster_create.restype = c.c_void_p
     lib.cct_ouster_create.argtypes = [
-        c.c_int, c.c_int, c.c_int, c.c_int, c.c_double, c.c_void_p, c.c_void_p
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_double,
+        c.c_void_p, c.c_void_p,
     ]
     lib.cct_ouster_destroy.argtypes = [c.c_void_p]
     lib.cct_ouster_decode.argtypes = [c.c_void_p, c.c_void_p, c.c_int64, c.c_uint64]

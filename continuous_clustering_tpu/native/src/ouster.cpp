@@ -14,12 +14,21 @@
 //   reflectivity u16, signal u16, near_ir u16, padding u16
 //   4-byte block status footer (0xFFFFFFFF = valid)
 //
-// RNG19_RFL8_SIG16_NIR16 (single-return eUDP) format: 32-byte packet
-// header, then per column a 12-byte header (timestamp u64, measurement id
-// u16, status u16 with bit0 = valid) and pixels of 12 bytes: range u32
-// (19 bits), reflectivity u8, signal u16 @6, near_ir u16 @8.  Azimuth
-// comes from the measurement id (no encoder field):
-// theta_enc = 2*pi * (1 - m_id / columns_per_frame).
+// eUDP formats (32-byte packet header, per column a 12-byte header:
+// timestamp u64, measurement id u16, status u16 with bit0 = valid; azimuth
+// comes from the measurement id: theta_enc = 2*pi * (1 - m_id / cols)):
+//   RNG19_RFL8_SIG16_NIR16 (profile 1): 12-byte pixels — range u32
+//     (19 bits), reflectivity u8, signal u16 @6, near_ir u16 @8.
+//   RNG15_RFL8_NIR8 low data rate (profile 2): 4-byte pixels — range u16
+//     (15 bits, 8 mm granularity), reflectivity u8 @2, near_ir u8 @3.
+//     This profile carries no SIGNAL field; intensity comes from the
+//     already-0-255 calibrated reflectivity instead of the 0-1000 signal
+//     scaling.
+//   RNG19_RFL8_SIG16_NIR16_DUAL (profile 3): 16-byte pixels — per return
+//     r in {0,1}: range u32 @4r (19 bits) with reflectivity u8 packed in
+//     bits 24-31, signal u16 @(8+2r); near_ir u16 @12.  return_index
+//     selects which return is emitted (the reference publishes the first
+//     return's RANGE/SIGNAL fields only, ouster_input.hpp:134-138).
 
 #include <cmath>
 #include <cstdint>
@@ -35,7 +44,8 @@ struct OusterDecoder {
   int pixels_per_column;
   int columns_per_packet;
   int columns_per_frame;
-  int profile;  // 0 = LEGACY, 1 = RNG19_RFL8_SIG16_NIR16
+  int profile;       // 0 = LEGACY, 1 = RNG19, 2 = RNG15 low rate, 3 = RNG19 dual
+  int return_index;  // 0 or 1; only meaningful for profile 3
   double lidar_origin_to_beam_origin_mm;
   std::vector<float> altitude;  // radians, per pixel
   std::vector<float> azimuth;   // radians, per pixel (beam azimuth offsets)
@@ -46,10 +56,11 @@ struct OusterDecoder {
   int out_count = 0;
 
   void decodePacket(const uint8_t* data, int64_t size, uint64_t host_stamp) {
-    const int pixel_bytes = 12;
-    const int header = profile == 1 ? 32 : 0;
-    const int col_header = profile == 1 ? 12 : 16;
-    const int col_footer = profile == 1 ? 0 : 4;
+    const bool eudp = profile != 0;
+    const int pixel_bytes = profile == 2 ? 4 : profile == 3 ? 16 : 12;
+    const int header = eudp ? 32 : 0;
+    const int col_header = eudp ? 12 : 16;
+    const int col_footer = eudp ? 0 : 4;
     const int col_bytes = col_header + pixels_per_column * pixel_bytes + col_footer;
     if (size < header + static_cast<int64_t>(col_bytes) * columns_per_packet)
       return;
@@ -58,7 +69,7 @@ struct OusterDecoder {
       uint16_t mid;
       std::memcpy(&mid, col + 8, 2);
       float theta_enc;
-      if (profile == 1) {
+      if (eudp) {
         uint16_t status16;
         std::memcpy(&status16, col + 10, 2);
         if (!(status16 & 0x1)) continue;
@@ -81,11 +92,30 @@ struct OusterDecoder {
       out_stamps.resize(out_stamps.size() + pixels_per_column, host_stamp);
       for (int px = 0; px < pixels_per_column; ++px) {
         const uint8_t* p = col + col_header + px * pixel_bytes;
-        uint32_t range_raw;
-        std::memcpy(&range_raw, p, 4);
-        uint32_t range_mm = range_raw & (profile == 1 ? 0x0007FFFFu : 0x000FFFFFu);
-        uint16_t signal;
-        std::memcpy(&signal, p + 6, 2);
+        uint32_t range_mm;
+        uint8_t inten8;
+        if (profile == 2) {
+          uint16_t range16;
+          std::memcpy(&range16, p, 2);
+          range_mm = static_cast<uint32_t>(range16 & 0x7FFFu) * 8u;
+          inten8 = p[2];  // calibrated reflectivity, already 0-255
+        } else if (profile == 3) {
+          uint32_t word;
+          std::memcpy(&word, p + 4 * return_index, 4);
+          range_mm = word & 0x0007FFFFu;
+          uint16_t signal;
+          std::memcpy(&signal, p + 8 + 2 * return_index, 2);
+          float s = signal > 1000 ? 1000.0f : static_cast<float>(signal);
+          inten8 = static_cast<uint8_t>(s * 255.0f / 1000.0f);
+        } else {
+          uint32_t range_raw;
+          std::memcpy(&range_raw, p, 4);
+          range_mm = range_raw & (profile == 1 ? 0x0007FFFFu : 0x000FFFFFu);
+          uint16_t signal;
+          std::memcpy(&signal, p + 6, 2);
+          float s = signal > 1000 ? 1000.0f : static_cast<float>(signal);
+          inten8 = static_cast<uint8_t>(s * 255.0f / 1000.0f);
+        }
         if (range_mm == 0) continue;
         float r = range_mm * 1e-3f;
         float n = static_cast<float>(lidar_origin_to_beam_origin_mm) * 1e-3f;
@@ -98,10 +128,8 @@ struct OusterDecoder {
         out_xyz[base + px * 3 + 0] = x;
         out_xyz[base + px * 3 + 1] = y;
         out_xyz[base + px * 3 + 2] = z;
-        // 0-1000 -> 0-255 clamp (ouster_input.hpp intensity scaling)
-        float s = signal > 1000 ? 1000.0f : static_cast<float>(signal);
-        out_inten[out_inten.size() - pixels_per_column + px] =
-            static_cast<uint8_t>(s * 255.0f / 1000.0f);
+        // 0-1000 signal -> 0-255 clamp (ouster_input.hpp intensity scaling)
+        out_inten[out_inten.size() - pixels_per_column + px] = inten8;
       }
       ++out_count;
     }
@@ -113,7 +141,7 @@ struct OusterDecoder {
 extern "C" {
 
 void* cct_ouster_create(int pixels_per_column, int columns_per_packet,
-                        int columns_per_frame, int profile,
+                        int columns_per_frame, int profile, int return_index,
                         double lidar_origin_to_beam_origin_mm,
                         const float* altitude_rad, const float* azimuth_rad) {
   auto* d = new OusterDecoder();
@@ -121,6 +149,7 @@ void* cct_ouster_create(int pixels_per_column, int columns_per_packet,
   d->columns_per_packet = columns_per_packet;
   d->columns_per_frame = columns_per_frame;
   d->profile = profile;
+  d->return_index = return_index;
   d->lidar_origin_to_beam_origin_mm = lidar_origin_to_beam_origin_mm;
   d->altitude.assign(altitude_rad, altitude_rad + pixels_per_column);
   d->azimuth.assign(azimuth_rad, azimuth_rad + pixels_per_column);

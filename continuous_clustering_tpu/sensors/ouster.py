@@ -1,11 +1,19 @@
 """Ouster packet input: native C++ decoder with a NumPy fallback.
 
 Parses the sensor_info JSON (beam angles, data format — same schema as the
-reference's calibrations/touareg_os32_*.json) and decodes LEGACY or
-RNG19_RFL8_SIG16_NIR16 (single-return eUDP) lidar packets into firings
-(reference OusterInput, ros/ouster_input.hpp, which delegates the format
-to the ouster-sdk packet_format).  The profile is selected by the
-``udp_profile_lidar`` field of the sensor_info (absent = LEGACY).
+reference's calibrations/touareg_os32_*.json) and decodes lidar packets
+into firings (reference OusterInput, ros/ouster_input.hpp, which delegates
+the format to the ouster-sdk packet_format).  The profile is selected by
+the ``udp_profile_lidar`` field of the sensor_info (absent = LEGACY):
+
+* ``LEGACY`` — 16-byte column headers with an encoder-tick azimuth.
+* ``RNG19_RFL8_SIG16_NIR16`` — single-return eUDP, 12-byte pixels.
+* ``RNG15_RFL8_NIR8`` — low-data-rate eUDP, 4-byte pixels (8 mm range
+  granularity, no SIGNAL field: intensity comes from the calibrated
+  0-255 reflectivity).
+* ``RNG19_RFL8_SIG16_NIR16_DUAL`` — dual-return eUDP, 16-byte pixels;
+  ``return_index`` selects which return is emitted (the reference
+  publishes the first return's RANGE/SIGNAL, ouster_input.hpp:134-138).
 """
 
 from __future__ import annotations
@@ -23,7 +31,20 @@ ENCODER_TICKS_PER_REV = 90112
 
 
 class OusterInput(SensorInput):
-    def __init__(self, sensor_info, use_native: bool = True, decode_threads: int = 0):
+    PROFILES = {
+        "LEGACY": 0,
+        "RNG19_RFL8_SIG16_NIR16": 1,
+        "RNG15_RFL8_NIR8": 2,
+        "RNG19_RFL8_SIG16_NIR16_DUAL": 3,
+    }
+
+    def __init__(
+        self,
+        sensor_info,
+        use_native: bool = True,
+        decode_threads: int = 0,
+        return_index: int = 0,
+    ):
         if isinstance(sensor_info, (str, Path)):
             sensor_info = json.loads(Path(sensor_info).read_text())
         self.info = sensor_info
@@ -33,15 +54,17 @@ class OusterInput(SensorInput):
         self.columns_per_frame = int(fmt["columns_per_frame"])
         self.beam_to_origin_mm = float(sensor_info["lidar_origin_to_beam_origin_mm"])
         prof_name = str(fmt.get("udp_profile_lidar", "LEGACY"))
-        if prof_name in ("LEGACY",):
-            self.profile = 0
-        elif prof_name == "RNG19_RFL8_SIG16_NIR16":
-            self.profile = 1
-        else:
+        if prof_name not in self.PROFILES:
             raise ValueError(
                 f"unsupported Ouster udp_profile_lidar: {prof_name!r} "
-                "(supported: LEGACY, RNG19_RFL8_SIG16_NIR16)"
+                f"(supported: {', '.join(self.PROFILES)})"
             )
+        self.profile = self.PROFILES[prof_name]
+        if return_index not in (0, 1):
+            raise ValueError("return_index must be 0 or 1")
+        if return_index == 1 and self.profile != 3:
+            raise ValueError("return_index=1 requires the DUAL profile")
+        self.return_index = return_index
         self.altitude = np.deg2rad(
             np.asarray(sensor_info["beam_altitude_angles"], np.float32)
         )
@@ -60,6 +83,7 @@ class OusterInput(SensorInput):
                 self.columns_per_packet,
                 self.columns_per_frame,
                 self.profile,
+                self.return_index,
                 ctypes.c_double(self.beam_to_origin_mm),
                 self.altitude.ctypes.data_as(ctypes.c_void_p),
                 self.azimuth.ctypes.data_as(ctypes.c_void_p),
@@ -133,18 +157,18 @@ class OusterInput(SensorInput):
 
     def _decode_python(self, packet: bytes, host_stamp_ns: int) -> None:
         R = self.pixels_per_column
-        pixel_bytes = 12
-        rng19 = self.profile == 1
-        header = 32 if rng19 else 0
-        col_header = 12 if rng19 else 16
-        col_footer = 0 if rng19 else 4
+        eudp = self.profile != 0
+        pixel_bytes = {0: 12, 1: 12, 2: 4, 3: 16}[self.profile]
+        header = 32 if eudp else 0
+        col_header = 12 if eudp else 16
+        col_footer = 0 if eudp else 4
         col_bytes = col_header + R * pixel_bytes + col_footer
         if len(packet) < header + col_bytes * self.columns_per_packet:
             return
         raw = np.frombuffer(packet, np.uint8)
         for c in range(self.columns_per_packet):
             col = raw[header + c * col_bytes : header + (c + 1) * col_bytes]
-            if rng19:
+            if eudp:
                 status16 = int(col[10:12].copy().view(np.uint16)[0])
                 if not (status16 & 0x1):
                     continue
@@ -157,9 +181,21 @@ class OusterInput(SensorInput):
                 encoder = int(col[12:16].view(np.uint32)[0])
                 theta_enc = 2.0 * math.pi * (1.0 - encoder / ENCODER_TICKS_PER_REV)
             px = col[col_header : col_header + R * pixel_bytes].reshape(R, pixel_bytes)
-            mask = 0x0007FFFF if rng19 else 0x000FFFFF
-            range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & mask
-            signal = px[:, 6:8].copy().view(np.uint16)[:, 0]
+            if self.profile == 2:
+                # 15-bit range at 8 mm granularity; no SIGNAL field
+                r16 = px[:, :2].copy().view(np.uint16)[:, 0]
+                range_mm = (r16 & 0x7FFF).astype(np.uint32) * 8
+                signal = None
+                inten8 = px[:, 2].copy()  # calibrated reflectivity, 0-255
+            elif self.profile == 3:
+                ro = 4 * self.return_index
+                range_mm = px[:, ro : ro + 4].copy().view(np.uint32)[:, 0] & 0x0007FFFF
+                so = 8 + 2 * self.return_index
+                signal = px[:, so : so + 2].copy().view(np.uint16)[:, 0]
+            else:
+                mask = 0x0007FFFF if self.profile == 1 else 0x000FFFFF
+                range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & mask
+                signal = px[:, 6:8].copy().view(np.uint16)[:, 0]
             valid = range_mm > 0
             r = range_mm.astype(np.float32) * 1e-3
             n_off = self.beam_to_origin_mm * 1e-3
@@ -175,9 +211,11 @@ class OusterInput(SensorInput):
                 + n_off * math.sin(theta_enc)
             )
             xyz[valid, 2] = rc[valid] * np.sin(self.altitude[valid])
-            inten = np.clip(signal.astype(np.float32), 0, 1000) * 255.0 / 1000.0
+            if signal is not None:
+                inten = np.clip(signal.astype(np.float32), 0, 1000) * 255.0 / 1000.0
+                inten8 = inten.astype(np.uint8)
             self._emit(
                 xyz,
                 np.full(R, host_stamp_ns, np.uint64),
-                inten.astype(np.uint8),
+                inten8,
             )

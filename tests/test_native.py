@@ -362,6 +362,111 @@ def test_ouster_rng19_matches_legacy_geometry():
         np.testing.assert_allclose(a["xyz"], b["xyz"], rtol=2e-5, atol=2e-4)
 
 
+def _ouster_rng15_packet(info, ranges_m, refl=180, m_id=0):
+    """Synthetic RNG15_RFL8_NIR8 low-data-rate packet: 4-byte pixels —
+    range u16 (15 bits, 8 mm granularity), calibrated reflectivity u8,
+    near_ir u8.  No SIGNAL field exists in this profile."""
+    R = info["data_format"]["pixels_per_column"]
+    cols = info["data_format"]["columns_per_packet"]
+    ranges_m = np.broadcast_to(np.asarray(ranges_m, np.float64), (R,))
+    out = b"\x00" * 32
+    for c in range(cols):
+        out += struct.pack(
+            "<QHH", 1000 + c, (m_id + c) % info["data_format"]["columns_per_frame"], 1
+        )
+        for r in range(R):
+            rng = int(round(ranges_m[r] * 1000.0 / 8.0)) & 0x7FFF
+            out += struct.pack("<HBB", rng, refl, 33)
+    return out
+
+
+def _ouster_dual_packet(info, ranges_m=(10.0, 14.0), signals=(500, 900), m_id=0):
+    """Synthetic RNG19_RFL8_SIG16_NIR16_DUAL packet: 16-byte pixels —
+    range u32 per return at offsets 0/4 (19 bits, reflectivity packed in
+    bits 24-31), signal u16 per return at offsets 8/10, near_ir u16 @12."""
+    R = info["data_format"]["pixels_per_column"]
+    cols = info["data_format"]["columns_per_packet"]
+    out = b"\x00" * 32
+    for c in range(cols):
+        out += struct.pack(
+            "<QHH", 1000 + c, (m_id + c) % info["data_format"]["columns_per_frame"], 1
+        )
+        for r in range(R):
+            w0 = (int(ranges_m[0] * 1000) & 0x0007FFFF) | (200 << 24)
+            w1 = (int(ranges_m[1] * 1000) & 0x0007FFFF) | (90 << 24)
+            out += struct.pack("<IIHHHH", w0, w1, signals[0], signals[1], 55, 0)
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_ouster_rng15_decode(use_native):
+    """Low-data-rate profile: 8 mm range granularity, intensity is the
+    calibrated reflectivity byte verbatim (no 0-1000 signal scaling)."""
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    info["data_format"]["udp_profile_lidar"] = "RNG15_RFL8_NIR8"
+    dec = OusterInput(info, use_native=use_native)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    dec.on_packet(_ouster_rng15_packet(info, 12.0, refl=180), host_stamp_ns=42)
+    assert len(firings) == info["data_format"]["columns_per_packet"]
+    f = firings[0]
+    d = np.linalg.norm(f["xyz"], axis=1)
+    assert np.all(np.abs(d - 12.0) < 0.1)
+    assert np.all(f["intensity"] == 180)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("return_index", [0, 1])
+def test_ouster_dual_return_decode(use_native, return_index):
+    """Dual-return profile: return_index selects which return's
+    RANGE/SIGNAL pair is emitted (reference publishes the first,
+    ouster_input.hpp:134-138; the second is exposed for completeness)."""
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    info["data_format"]["udp_profile_lidar"] = "RNG19_RFL8_SIG16_NIR16_DUAL"
+    dec = OusterInput(info, use_native=use_native, return_index=return_index)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    pkt = _ouster_dual_packet(info, ranges_m=(10.0, 14.0), signals=(500, 900))
+    dec.on_packet(pkt, host_stamp_ns=42)
+    assert len(firings) == info["data_format"]["columns_per_packet"]
+    f = firings[0]
+    d = np.linalg.norm(f["xyz"], axis=1)
+    want_r = (10.0, 14.0)[return_index]
+    want_i = int((500, 900)[return_index] * 255 / 1000)
+    assert np.all(np.abs(d - want_r) < 0.1)
+    assert np.all(f["intensity"] == want_i)
+
+
+def test_ouster_dual_return_index_validation():
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    with pytest.raises(ValueError, match="DUAL"):
+        OusterInput(info, return_index=1)
+    info["data_format"]["udp_profile_lidar"] = "NOT_A_PROFILE"
+    with pytest.raises(ValueError, match="udp_profile_lidar"):
+        OusterInput(info)
+
+
 # ---------------------------------------------------------------- velodyne
 # decode-fidelity goldens: expected values hand-computed from the public
 # velodyne_pointcloud math (the parser the reference delegates to,

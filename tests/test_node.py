@@ -276,3 +276,43 @@ def test_node_emits_clock_tf_and_ego_bbox():
     assert cs == sorted(cs) and cs[0] >= t0
     np.testing.assert_allclose(tfs[0]["translation"], [0.5, 0.0, 0.1])
     np.testing.assert_allclose(tfs[0]["rotation_xyzw"], [0, 0, 0, 1])
+
+
+def test_node_transforms_before_firings_survive_startup_reset():
+    """Regression: with an async decode thread the first firing can arrive
+    AFTER every transform was buffered.  The startup reset (rows discovery,
+    …node.cpp:87-102) must not wipe the pose history — the reference's tf
+    buffer is ROS-global and survives resets — or every queued firing waits
+    forever and nothing is ever published."""
+    node = make_node()
+    clusters = []
+    node.publish_cluster = lambda pts, stamp: clusters.append(len(pts))
+
+    scene = make_scene(num_boxes=4, seed=0, spread=15.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS)
+
+    t0 = 1_000_000_000
+    stamps = [t0 + i * 400_000 for i in range(2 * NUM_COLS)]
+    # all transforms first (what drain-time firing bursts look like) ...
+    for s in stamps:
+        node.on_transform(s + 1, np.eye(4))
+    # ... then all firings
+    for i, s in enumerate(stamps):
+        node.on_points(xyz[i % NUM_COLS], s)
+    node.flush()
+
+    assert clusters, "startup reset stranded the queued firings"
+    assert all(n > 20 for n in clusters)
+
+
+def test_time_jump_reset_clears_stale_poses():
+    """A genuine time jump discards the old time base (poses included)."""
+    sync = TransformSynchronizer(wait_for_tf=True)
+    got = []
+    sync.set_callback(lambda msg, pose: got.append((msg, pose)))
+    sync.add_transform(10**9, np.eye(4))
+    sync.reset(clear_poses=True)
+    sync.add_message(10**9, "stale-release")
+    assert not got  # old pose gone; message must wait for a fresh transform
+    sync.add_transform(2 * 10**9, np.eye(4))
+    assert [m for m, _ in got] == ["stale-release"]
