@@ -533,6 +533,24 @@ def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, L0,
     return cc_converge(sweep, R, WCOL, L0=L0)
 
 
+def _f32_sort_key(x: jax.Array) -> jax.Array:
+    """Monotone bijection f32 -> i32: a <= b  <=>  key(a) <= key(b).
+
+    Lets f32 max-reductions ride an i32 scatter-max so several aggregate
+    scatters can merge into ONE (per-op overhead dominates scatter cost in
+    the compiled step; scripts in docs/ROUND3_NOTES.md).  Standard radix
+    trick: non-negative floats keep their bit pattern, negative floats map
+    to INT_MIN - bits (wraparound arithmetic makes -0.0 -> 0 == +0.0).
+    """
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b >= 0, b, jnp.int32(-(2 ** 31)) - b)
+
+
+def _f32_from_key(k: jax.Array) -> jax.Array:
+    b = jnp.where(k >= 0, k, jnp.int32(-(2 ** 31)) - k)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
 class CompleteResult(NamedTuple):
     state: RingState
     fu_old: jax.Array        # () i32 first_unpublished before completion
@@ -624,6 +642,9 @@ def associate_and_complete(
         Lw, cc_ok = _window_cc_vectorized(config, bits, active_w, L0, B, max_wp)
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
+    if "subcc" in profile_cut:
+        # perf probe: bypass the CC fixpoint (labels = seed; garbage output)
+        Lw = L0
 
 
     # ---- window labels -> component slots ---------------------------------
@@ -737,17 +758,41 @@ def associate_and_complete(
         .at[jnp.where(free, free_rank - 1, K)]
         .set(idxK, mode="drop")
     )
-    new_slot_l = jnp.take(free_compact, jnp.clip(new_rank - 1, 0, K - 1))
+    agg_pack = os.environ.get("CCT_AGG_PACK", "1") == "1"
+    if "subgather" in profile_cut:
+        # perf probe: replace the window-scale gathers with elementwise
+        # fakes of identical shape/dtype (results are garbage)
+        new_slot_l = jnp.clip(new_rank - 1, 0, K - 1)
+        slot_of_label = jnp.where(need_new, new_slot_l, jnp.clip(m0, 0, K - 1))
+        cell_slot = jnp.where(batchf, lab % K, -1)
+    elif agg_pack:
+        # ONE gather over the concatenated [free_compact | slot_parent]
+        # table: need_new labels read their freshly allocated slot, the
+        # rest resolve their min existing slot.  Merging the two takes
+        # matters because each irregular op costs ~0.2 ms in the compiled
+        # step regardless of size (docs/ROUND3_NOTES.md).
+        gidx = jnp.where(
+            need_new,
+            jnp.clip(new_rank - 1, 0, K - 1),
+            K + jnp.clip(m0, 0, K - 1),
+        )
+        slot_of_label = jnp.take(
+            jnp.concatenate([free_compact, slot_parent]), gidx
+        )
+        new_slot_l = slot_of_label  # == free allocation at need_new lanes
+        cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
+    else:
+        new_slot_l = jnp.take(free_compact, jnp.clip(new_rank - 1, 0, K - 1))
 
-    # final slot per label position (valid where the label has members)
-    slot_of_label = jnp.where(
-        need_new,
-        new_slot_l,
-        jnp.take(slot_parent, jnp.clip(m0, 0, K - 1)),
-    )
+        # final slot per label position (valid where the label has members)
+        slot_of_label = jnp.where(
+            need_new,
+            new_slot_l,
+            jnp.take(slot_parent, jnp.clip(m0, 0, K - 1)),
+        )
 
-    # ---- write batch cells' slots (and finish azimuths) to the ring -------
-    cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
+        # ---- write batch cells' slots (and finish azimuths) to the ring ---
+        cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
     wmask = (jnp.arange(B) < inputs.n_cols)[None, :]
     cur_slot = ring_read(state.slot, lc0b, B)
     slot_ring = ring_write(
@@ -808,7 +853,6 @@ def associate_and_complete(
     rep_glid = (self_wl // WCOL) * rc + (
         inputs.gcol0 - H + self_wl % WCOL
     ) % rc
-    rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
 
     # batch contributions scatter DIRECTLY into the K table keyed by each
     # cell's final slot (one level of batch-sized scatters instead of a
@@ -818,10 +862,51 @@ def associate_and_complete(
     cs_b = cell_slot.reshape(R, WCOL)[:, H:].reshape(-1)
     cs_idx = jnp.where(cs_b >= 0, cs_b, K)
     gw_b = jnp.broadcast_to(awcols[None, H:], (R, B)).reshape(-1)
-    fin_t = fin_t.at[cs_idx].max(finish_b.reshape(-1), mode="drop")
-    gmin_t = gmin_t.at[cs_idx].min(gw_b, mode="drop")
-    gmax_t = gmax_t.at[cs_idx].max(gw_b, mode="drop")
-    cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
+    if "subagg" in profile_cut or "subrep" in profile_cut:
+        # perf probe: elementwise fakes keeping cheap deps on the real
+        # sources (min(max(x),0) cannot be constant-folded away)
+        dep = jnp.minimum(jnp.max(cs_idx), 0)
+        fin_t = jnp.maximum(fin_t, jnp.max(finish_b) + dep)
+        gmin_t = jnp.minimum(gmin_t, jnp.min(gw_b) - dep)
+        gmax_t = jnp.maximum(gmax_t, dep - 1)
+        cnt_t = cnt_t + dep
+        rep_t = state.slot_rep + jnp.minimum(jnp.max(tgt_new) + jnp.max(rep_glid), 0)
+    elif agg_pack:
+        # ONE scatter-max over a concatenated (4K,) i32 table carries the
+        # three max/min aggregates (gmin negated, fin through the monotone
+        # f32<->i32 sort key) AND the new-slot representative write (set ==
+        # max: freed slots reset rep to -1 in completion, so the current
+        # value at any allocation target is -1).  The count stays a
+        # separate add-scatter.  The merge is exact; it exists because the
+        # compiled step pays a ~0.2 ms fixed cost per irregular op while
+        # the per-lane cost is negligible (docs/ROUND3_NOTES.md).
+        i_cat = jnp.concatenate([
+            jnp.where(cs_b >= 0, cs_b, 4 * K),           # fin (key) seg 0
+            jnp.where(cs_b >= 0, cs_b + K, 4 * K),       # -gmin     seg 1
+            jnp.where(cs_b >= 0, cs_b + 2 * K, 4 * K),   # gmax      seg 2
+            jnp.where(need_new, tgt_new + 3 * K, 4 * K),  # rep      seg 3
+        ])
+        v_cat = jnp.concatenate([
+            _f32_sort_key(finish_b.reshape(-1)),
+            I32_MAX - gw_b,
+            gw_b,
+            rep_glid,
+        ])
+        t_cat = jnp.concatenate([
+            _f32_sort_key(fin_t), I32_MAX - gmin_t, gmax_t, state.slot_rep,
+        ])
+        t_cat = t_cat.at[i_cat].max(v_cat, mode="drop")
+        fin_t = _f32_from_key(t_cat[:K])
+        gmin_t = I32_MAX - t_cat[K:2 * K]
+        gmax_t = t_cat[2 * K:3 * K]
+        rep_t = t_cat[3 * K:]
+        cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
+    else:
+        rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
+        fin_t = fin_t.at[cs_idx].max(finish_b.reshape(-1), mode="drop")
+        gmin_t = gmin_t.at[cs_idx].min(gw_b, mode="drop")
+        gmax_t = gmax_t.at[cs_idx].max(gw_b, mode="drop")
+        cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
 
     # ---- completion (…cpp:837-974), all K-sized ---------------------------
     newest = jnp.maximum(newest_gcol, 0) % rc

@@ -202,10 +202,15 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     cap was hit with labels still changing."""
     R, WCOL = active_w.shape
 
+    # jump strength: number of f = f[f] applications per unconverged round.
+    # Each application is a window-scale gather (~as expensive as a sweep
+    # launch in-context), but compresses label chains geometrically
+    n_jump = int(os.environ.get("CCT_CC_JUMP", "2"))
+
     def jump(L):
         f = L.reshape(-1)
-        f = jnp.take(f, f)
-        f = jnp.take(f, f)
+        for _ in range(n_jump):
+            f = jnp.take(f, f)
         return f.reshape(R, WCOL)
 
     def cond(c):

@@ -91,7 +91,7 @@ def main():
         m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', full)
         if m:
             src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
-        note = notes.get(k, "")
+        note = notes.get(k.lstrip("%"), "")
         print(f"  {v/1e9:8.3f}  {k:22s} {src} {note}")
 
 
