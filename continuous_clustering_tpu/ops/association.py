@@ -969,7 +969,11 @@ def associate_and_complete(
         fin_t, gmin_t, gmax_t, cnt_t, rep_t,
     )
     nth = cl.cluster_point_trees_every_nth_column
-    if nth <= 1:
+    if "subcomp" in profile_cut:
+        # perf probe: completion replaced by its skip branch (frontier
+        # freezes; output is garbage but shapes/deps are intact)
+        outs = skip_completion(ops)
+    elif nth <= 1:
         outs = completion(ops)
     else:
         # the reference runs tree combination every nth columns (…cpp:841);
@@ -1043,9 +1047,14 @@ def associate_and_complete(
     )
     # bounded chunk clear toward the target (O(B) per batch; reference
     # clearColumns, ...cpp:1094-1145, cleared eagerly on the publish thread)
-    state, cleared_to = clear_columns_chunk(
-        state, ring_start_old, clear_target_new, B
-    )
+    if "subclear" in profile_cut:
+        # perf probe: skip the chunk clear (ring fills with stale cells)
+        cleared_to = jnp.minimum(ring_start_old + jnp.minimum(
+            jnp.maximum(clear_target_new, 0), 0), ring_start_old)
+    else:
+        state, cleared_to = clear_columns_chunk(
+            state, ring_start_old, clear_target_new, B
+        )
     state = dataclasses.replace(state, ring_start=cleared_to)
     return CompleteResult(
         state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new
