@@ -80,7 +80,10 @@ def _bench_scan_device(pipe, cfg, firings, n_points_per_rev, num_cols):
         stack_batches,
     )
 
-    n_rev = 4
+    # enough revolutions that the single end-of-run link round trip is noise
+    # in the average: the metric is the steady-state device rate (dispatches
+    # pipeline asynchronously; only the final scalar fetch blocks)
+    n_rev = int(os.environ.get("CCT_BENCH_REVS", "10"))
     state = pipe.state
     if pipe._host_ins is not None:
         hsg = jnp.asarray(np.float32(-1.7))
