@@ -758,7 +758,13 @@ def associate_and_complete(
         .at[jnp.where(free, free_rank - 1, K)]
         .set(idxK, mode="drop")
     )
-    agg_pack = os.environ.get("CCT_AGG_PACK", "1") == "1"
+    # CCT_AGG: "pack" (default) = 4-in-1 packed scatter-max; "rows" =
+    # per-row batched scatters (vmap -> HLO operand_batching_dims) reduced
+    # over the row axis; "plain" = one scatter per quantity.  All exact.
+    agg_mode = os.environ.get("CCT_AGG", "")
+    if not agg_mode:
+        agg_mode = "pack" if os.environ.get("CCT_AGG_PACK", "1") == "1" else "plain"
+    agg_pack = agg_mode != "plain"
     if "subgather" in profile_cut:
         # perf probe: replace the window-scale gathers with elementwise
         # fakes of identical shape/dtype (results are garbage)
@@ -871,6 +877,37 @@ def associate_and_complete(
         gmax_t = jnp.maximum(gmax_t, dep - 1)
         cnt_t = cnt_t + dep
         rep_t = state.slot_rep + jnp.minimum(jnp.max(tgt_new) + jnp.max(rep_glid), 0)
+    elif agg_mode == "rows":
+        # per-ROW batched scatters: vmap over the row axis lowers to one
+        # HLO scatter with operand_batching_dims — R independent K-tables,
+        # reduced over rows afterwards (K-sized elementwise).  Exact: max/
+        # min/add are associative-commutative and the row partials start at
+        # the combiner identity.  Experimental alternative to "pack" for
+        # backends that vectorize batched scatters across the batch dim.
+        cs2 = cell_slot.reshape(R, WCOL)[:, H:]
+        ci2 = jnp.where(cs2 >= 0, cs2, K)
+        fkey2 = _f32_sort_key(finish_b)
+        gw2 = jnp.broadcast_to(awcols[None, H:], (R, B))
+        fkey_id = _f32_sort_key(jnp.float32(-jnp.inf))
+
+        def row_sc(init, combine):
+            def one(i, v):
+                t = jnp.full((K,), init, jnp.int32)
+                return getattr(t.at[i], combine)(v, mode="drop")
+            return jax.vmap(one)
+
+        finp = row_sc(fkey_id, "max")(ci2, fkey2).max(axis=0)
+        fin_t = _f32_from_key(jnp.maximum(_f32_sort_key(fin_t), finp))
+        gmin_t = jnp.minimum(gmin_t, row_sc(I32_MAX, "min")(ci2, gw2).min(axis=0))
+        gmax_t = jnp.maximum(gmax_t, row_sc(-1, "max")(ci2, gw2).max(axis=0))
+        cnt_t = cnt_t + row_sc(0, "add")(
+            ci2, jnp.where(cs2 >= 0, 1, 0)
+        ).sum(axis=0)
+        tgt2 = jnp.where(need_new, tgt_new, K).reshape(R, WCOL)
+        repv2 = rep_glid.reshape(R, WCOL)
+        rep_t = jnp.maximum(
+            state.slot_rep, row_sc(-1, "max")(tgt2, repv2).max(axis=0)
+        )
     elif agg_pack:
         # ONE scatter-max over a concatenated (4K,) i32 table carries the
         # three max/min aggregates (gmin negated, fin through the monotone

@@ -64,7 +64,11 @@ def test_packed_matches_plain_pipeline(seed, monkeypatch):
     firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10 ** 8)
 
     def run(pack: str):
-        monkeypatch.setenv("CCT_AGG_PACK", pack)
+        if pack in ("0", "1"):
+            monkeypatch.setenv("CCT_AGG_PACK", pack)
+            monkeypatch.delenv("CCT_AGG", raising=False)
+        else:
+            monkeypatch.setenv("CCT_AGG", pack)
         jax.clear_caches()
         cfg = cct.kitti_config()
         cfg = cfg.replace(
@@ -87,6 +91,7 @@ def test_packed_matches_plain_pipeline(seed, monkeypatch):
 
     c0, fu0 = run("0")
     c1, fu1 = run("1")
-    assert fu0 == fu1
-    assert c0 == c1
+    cr, fur = run("rows")
+    assert fu0 == fu1 == fur
+    assert c0 == c1 == cr
     assert len(c0) > 0
