@@ -150,10 +150,12 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
                  n_sweeps: int = None):
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
-    With the hoisted label rotations, single sweeps per launch measured
-    fastest (CCT_SWEEPS: 1 -> 8.49, 2 -> 8.74, 3 -> 9.05 ms/step)."""
+    With jumps deferred past the first rounds (CCT_CC_JUMP_AFTER), more
+    sweeps per launch won: typical batches converge inside one 3-sweep
+    launch with zero pointer-jump gathers (round-3 battery: 3 sweeps
+    4.96M pts/s vs 1 sweep + per-round jumps 4.43M)."""
     if n_sweeps is None:
-        n_sweeps = int(os.environ.get("CCT_SWEEPS", "1"))
+        n_sweeps = int(os.environ.get("CCT_SWEEPS", "3"))
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R, WCOL = L.shape
@@ -204,12 +206,18 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
 
     # jump strength: number of f = f[f] applications per unconverged round.
     # Each application is a window-scale gather (~as expensive as a sweep
-    # launch in-context), but compresses label chains geometrically
+    # launch in-context), but compresses label chains geometrically.
+    # Jumps are DEFERRED (CCT_CC_JUMP_AFTER rounds, default 2): typical
+    # scenes converge in 1-3 sweep launches and never pay a jump — the
+    # TPU experiment battery measured jump-free convergence at 5.0M pts/s
+    # vs 4.4M with per-round jumps — while snake-shaped components still
+    # get geometric chain compression before the 64-round cap.
     n_jump = int(os.environ.get("CCT_CC_JUMP", "2"))
+    jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "2"))
 
     def jump(L):
         f = L.reshape(-1)
-        for _ in range(n_jump):
+        for _ in range(max(n_jump, 1)):
             f = jnp.take(f, f)
         return f.reshape(R, WCOL)
 
@@ -226,13 +234,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         L, _, it = c
         L2, d = sweep_pallas(config, bits, brev, occ, L, max_wp)
         changed = d[0, 0] > 0
-        # double pointer-jump every unconverged round, matching cc_converge:
-        # the jump gather costs ~a sweep launch, but only runs while
-        # unconverged, and without it long label chains need O(chain)
-        # sweeps — at wide batches that exceeds any reasonable cap (the
-        # every-3rd-round variant tripped the 64-round non-convergence
-        # guard at B=384)
-        L3 = jax.lax.cond(changed, jump, lambda l: l, L2)
+        L3 = jax.lax.cond(changed & (it >= jump_after), jump, lambda l: l, L2)
         return L3, changed, it + 1
 
     L, changed, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
