@@ -42,9 +42,10 @@ import numpy as np
 
 BASELINE_PTS_PER_S = 2.2e6
 
-# fallback tiers: (ring_revolutions, firing_batch); tried in order until one
-# completes (a TPU runtime fault kills the child process, not the bench)
-TIERS = [(10, 384), (4, 256), (4, 128), (2, 64)]
+# fallback tiers: (ring_revolutions, firing_batch, measured_revs); tried in
+# order until one completes (a TPU runtime fault or a degraded-tunnel
+# timeout kills the child process, not the bench)
+TIERS = [(10, 384, 10), (10, 384, 4), (4, 256, 4), (4, 128, 4), (2, 64, 4)]
 
 SCENES = {
     # (num_boxes, spread, min_radius)
@@ -382,18 +383,26 @@ def main():
 
 
 def main_with_fallback():
-    for ring, batch in TIERS:
+    for ring, batch, revs in TIERS:
         env = dict(os.environ)
         env["CCT_BENCH_CHILD"] = "1"
         env["CCT_BENCH_RING"] = str(ring)
         env["CCT_BENCH_BATCH"] = str(batch)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=2400,
-        )
+        env.setdefault("CCT_BENCH_REVS", str(revs))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench tier (ring={ring}, batch={batch}, revs={revs}) "
+                "timed out; trying next tier\n"
+            )
+            continue
         for line in reversed(r.stdout.strip().splitlines()):
             if line.startswith("{"):
                 print(line)
