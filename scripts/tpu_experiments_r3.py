@@ -107,6 +107,14 @@ def main():
     if not quick:
         for cut in ("subclear", "subcomp", "subagg+subgather+subrep"):
             measure(f"cut={cut}", cut=cut)
+        # VMEM-pressure hypothesis: the Pallas kernels' scoped-VMEM
+        # reservations (~16 MB limit) may evict the slot tables and make
+        # the irregular linkage ops HBM-latency-bound.  If the linkage
+        # block (full - sub) gets cheaper with the kernels OFF, the fix is
+        # shrinking kernel scratch, not the linkage itself.
+        measure("pallas=off", {"CCT_PALLAS": "0"})
+        measure("pallas=off sublinkage", {"CCT_PALLAS": "0"},
+                cut="subagg+subgather+subrep")
     return 0
 
 
