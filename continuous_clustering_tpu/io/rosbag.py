@@ -142,3 +142,125 @@ def decode_ouster_packet(data: bytes) -> bytes:
     """ouster_ros/PacketMsg -> raw packet buffer."""
     (n,) = struct.unpack_from("<I", data, 0)
     return data[4 : 4 + n]
+
+
+# --------------------------------------------------------------------------
+# writer + topic filter (reference scripts/create_minimal_rosbag.py analog)
+# --------------------------------------------------------------------------
+
+def _emit_header(fields) -> bytes:
+    out = b""
+    for name, value in fields:
+        f = name + b"=" + value
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def _emit_record(fields, data: bytes) -> bytes:
+    h = _emit_header(fields)
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+def read_messages_raw(path) -> Iterator[Tuple[str, bytes, int, bytes]]:
+    """Like :func:`read_messages` but yields the RAW connection header
+    bytes instead of the parsed datatype: ``(topic, conn_header, stamp_ns,
+    serialized_message)``.  Preserving the original connection header
+    (type, md5sum, full message_definition) keeps filtered bags consumable
+    by stock ROS tools."""
+    raw = Path(path).read_bytes()
+    if not raw.startswith(MAGIC):
+        raise ValueError(f"{path}: not a ROSBAG V2.0 file")
+    conns: Dict[int, Tuple[str, bytes]] = {}
+    out: list = []
+
+    def handle(header: Dict[bytes, bytes], data: bytes):
+        op = header[b"op"][0]
+        if op == OP_CONNECTION:
+            (cid,) = struct.unpack("<I", header[b"conn"])
+            conns[cid] = (header[b"topic"].decode(), data)
+        elif op == OP_MSG:
+            (cid,) = struct.unpack("<I", header[b"conn"])
+            secs, nsecs = struct.unpack("<II", header[b"time"])
+            topic, ch = conns[cid]
+            out.append((topic, ch, secs * 1_000_000_000 + nsecs, data))
+        elif op == OP_CHUNK:
+            compression = header.get(b"compression", b"none")
+            payload = data if compression == b"none" else bz2.decompress(data)
+            for h2, d2 in _records(payload):
+                handle(h2, d2)
+
+    for header, data in _records(raw, len(MAGIC)):
+        handle(header, data)
+        while out:
+            yield out.pop(0)
+
+
+def write_messages(path, messages, compression: str = "none") -> None:
+    """Write a spec-conformant (unindexed) ROSBAG V2.0 file.
+
+    ``messages``: iterable of ``(topic, conn_header_bytes, stamp_ns,
+    serialized_message)`` — the shape :func:`read_messages_raw` yields, so
+    read→filter→write round-trips losslessly.  ``conn_header_bytes`` may
+    also be a plain datatype string, in which case a minimal connection
+    header is synthesized (md5sum "*": consumers that verify md5 must
+    reindex).  The file carries index_pos=0, i.e. "unindexed" per the
+    spec; ``rosbag reindex`` restores indexes for ROS-side consumers.
+    """
+    topics: Dict[str, int] = {}
+    inner = b""
+    for topic, conn_header, stamp_ns, payload in messages:
+        if isinstance(conn_header, str):
+            conn_header = _emit_header(
+                [(b"type", conn_header.encode()), (b"md5sum", b"*"),
+                 (b"message_definition", b"")]
+            )
+        if topic not in topics:
+            cid = len(topics)
+            topics[topic] = cid
+            inner += _emit_record(
+                [(b"op", bytes([OP_CONNECTION])),
+                 (b"conn", struct.pack("<I", cid)),
+                 (b"topic", topic.encode())],
+                conn_header,
+            )
+        inner += _emit_record(
+            [(b"op", bytes([OP_MSG])),
+             (b"conn", struct.pack("<I", topics[topic])),
+             (b"time", struct.pack("<II", stamp_ns // 10 ** 9, stamp_ns % 10 ** 9))],
+            payload,
+        )
+    chunk_data = bz2.compress(inner) if compression == "bz2" else inner
+    if compression not in ("none", "bz2"):
+        raise ValueError(f"unsupported compression: {compression}")
+    chunk = _emit_record(
+        [(b"op", bytes([OP_CHUNK])),
+         (b"compression", compression.encode()),
+         (b"size", struct.pack("<I", len(inner)))],
+        chunk_data,
+    )
+    bag_header = _emit_record(
+        [(b"op", bytes([OP_BAG_HEADER])),
+         (b"index_pos", struct.pack("<Q", 0)),
+         (b"conn_count", struct.pack("<I", len(topics))),
+         (b"chunk_count", struct.pack("<I", 1))],
+        b"\x20" * 4096,  # the spec pads the bag header record to 4 KiB
+    )
+    Path(path).write_bytes(MAGIC + bag_header + chunk)
+
+
+def filter_bag(src, dst, topics, compression: str = "none") -> Dict[str, int]:
+    """Copy only ``topics`` (exact names) from bag ``src`` to ``dst``,
+    preserving connection headers and stamps (the reference's
+    make-minimal-rosbag workflow: keep the raw packet + tf topics, drop
+    cameras and bulky debug topics).  Returns {topic: message_count}."""
+    keep = set(topics)
+    counts: Dict[str, int] = {}
+
+    def gen():
+        for topic, ch, stamp, payload in read_messages_raw(src):
+            if topic in keep:
+                counts[topic] = counts.get(topic, 0) + 1
+                yield topic, ch, stamp, payload
+
+    write_messages(dst, gen(), compression=compression)
+    return counts

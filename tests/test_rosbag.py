@@ -156,3 +156,61 @@ def _vlp16_multiblock(az0_deg, dists):
             block += struct.pack("<HB", int(dists[ch % 16] / 0.002), 90)
         out += block
     return out + b"\x00" * 6
+
+
+def test_write_messages_roundtrip(tmp_path):
+    """Product-side writer (io.rosbag.write_messages) round-trips through
+    the reader, preserving connection headers verbatim."""
+    from continuous_clustering_tpu.io.rosbag import (
+        read_messages_raw,
+        write_messages,
+    )
+
+    msgs = [
+        ("/a", "pkg/TypeA", 1_500_000_000, b"payload-a0"),
+        ("/b", "pkg/TypeB", 1_600_000_000, b"payload-b0"),
+        ("/a", "pkg/TypeA", 1_700_000_000, b"payload-a1"),
+    ]
+    bag = tmp_path / "w.bag"
+    write_messages(bag, msgs)
+    got = list(read_messages_raw(bag))
+    assert [(t, s, d) for t, _, s, d in got] == [
+        (t, s, d) for t, _, s, d in [(m[0], None, m[2], m[3]) for m in msgs]
+    ]
+    # raw headers re-write losslessly (read -> write -> read)
+    bag2 = tmp_path / "w2.bag"
+    write_messages(bag2, got, compression="bz2")
+    assert list(read_messages_raw(bag2)) == got
+
+
+def test_filter_bag_minimal(tmp_path):
+    """make_minimal_rosbag analog: whitelisted topics survive with stamps
+    and payloads intact; everything else is dropped."""
+    from continuous_clustering_tpu.io.rosbag import filter_bag, read_messages
+
+    src = tmp_path / "full.bag"
+    msgs = [
+        ("/lidar/raw_data", "velodyne_msgs/VelodyneScan", 10 ** 9, b"p0"),
+        ("/camera/image", "sensor_msgs/Image", 10 ** 9 + 1, b"JPG" * 100),
+        ("/tf", "tf2_msgs/TFMessage", 10 ** 9 + 2, b"tfmsg"),
+        ("/lidar/raw_data", "velodyne_msgs/VelodyneScan", 10 ** 9 + 3, b"p1"),
+    ]
+    write_bag(src, msgs)
+    dst = tmp_path / "min.bag"
+    counts = filter_bag(src, dst, ["/lidar/raw_data", "/tf"])
+    assert counts == {"/lidar/raw_data": 2, "/tf": 1}
+    got = list(read_messages(dst))
+    assert [(t, d) for t, _, _, d in got] == [
+        ("/lidar/raw_data", b"p0"), ("/tf", b"tfmsg"), ("/lidar/raw_data", b"p1")
+    ]
+    assert got[0][1] == "velodyne_msgs/VelodyneScan"  # datatype preserved
+
+
+def test_make_minimal_rosbag_cli(tmp_path):
+    from continuous_clustering_tpu.tools.make_minimal_rosbag import main
+
+    src = tmp_path / "full.bag"
+    write_bag(src, [("/keep", "t/K", 5, b"x"), ("/drop", "t/D", 6, b"y")])
+    dst = tmp_path / "min.bag"
+    rc = main([str(src), str(dst), "--topics", "/keep"])
+    assert rc == 0 and dst.exists()
