@@ -29,6 +29,10 @@
 //     bits 24-31, signal u16 @(8+2r); near_ir u16 @12.  return_index
 //     selects which return is emitted (the reference publishes the first
 //     return's RANGE/SIGNAL fields only, ouster_input.hpp:134-138).
+//   FUSA_RNG15_RFL8_NIR8_DUAL (profile 4): 8-byte pixels — per return
+//     r in {0,1}: range u16 @4r (15 bits, 8 mm granularity), calibrated
+//     reflectivity u8 @(2+4r); near_ir u8 @3.  No SIGNAL field: intensity
+//     is the 0-255 reflectivity verbatim (like profile 2).
 
 #include <cmath>
 #include <cstdint>
@@ -44,8 +48,9 @@ struct OusterDecoder {
   int pixels_per_column;
   int columns_per_packet;
   int columns_per_frame;
-  int profile;       // 0 = LEGACY, 1 = RNG19, 2 = RNG15 low rate, 3 = RNG19 dual
-  int return_index;  // 0 or 1; only meaningful for profile 3
+  int profile;       // 0 = LEGACY, 1 = RNG19, 2 = RNG15 low rate,
+                     // 3 = RNG19 dual, 4 = FUSA RNG15 dual
+  int return_index;  // 0 or 1; only meaningful for profiles 3 and 4
   double lidar_origin_to_beam_origin_mm;
   std::vector<float> altitude;  // radians, per pixel
   std::vector<float> azimuth;   // radians, per pixel (beam azimuth offsets)
@@ -57,7 +62,8 @@ struct OusterDecoder {
 
   void decodePacket(const uint8_t* data, int64_t size, uint64_t host_stamp) {
     const bool eudp = profile != 0;
-    const int pixel_bytes = profile == 2 ? 4 : profile == 3 ? 16 : 12;
+    const int pixel_bytes =
+        profile == 2 ? 4 : profile == 3 ? 16 : profile == 4 ? 8 : 12;
     const int header = eudp ? 32 : 0;
     const int col_header = eudp ? 12 : 16;
     const int col_footer = eudp ? 0 : 4;
@@ -107,6 +113,11 @@ struct OusterDecoder {
           std::memcpy(&signal, p + 8 + 2 * return_index, 2);
           float s = signal > 1000 ? 1000.0f : static_cast<float>(signal);
           inten8 = static_cast<uint8_t>(s * 255.0f / 1000.0f);
+        } else if (profile == 4) {
+          uint16_t range16;
+          std::memcpy(&range16, p + 4 * return_index, 2);
+          range_mm = static_cast<uint32_t>(range16 & 0x7FFFu) * 8u;
+          inten8 = p[2 + 4 * return_index];  // calibrated reflectivity
         } else {
           uint32_t range_raw;
           std::memcpy(&range_raw, p, 4);

@@ -14,6 +14,11 @@ the ``udp_profile_lidar`` field of the sensor_info (absent = LEGACY):
 * ``RNG19_RFL8_SIG16_NIR16_DUAL`` — dual-return eUDP, 16-byte pixels;
   ``return_index`` selects which return is emitted (the reference
   publishes the first return's RANGE/SIGNAL, ouster_input.hpp:134-138).
+* ``FUSA_RNG15_RFL8_NIR8_DUAL`` — functional-safety dual-return eUDP,
+  8-byte pixels: per return r in {0,1} range u16 @4r (15 bits, 8 mm
+  granularity) and calibrated reflectivity u8 @(2+4r); near_ir u8 @3.
+  Like RNG15 there is no SIGNAL field, so intensity is the 0-255
+  reflectivity verbatim.
 """
 
 from __future__ import annotations
@@ -36,7 +41,9 @@ class OusterInput(SensorInput):
         "RNG19_RFL8_SIG16_NIR16": 1,
         "RNG15_RFL8_NIR8": 2,
         "RNG19_RFL8_SIG16_NIR16_DUAL": 3,
+        "FUSA_RNG15_RFL8_NIR8_DUAL": 4,
     }
+    DUAL_PROFILES = (3, 4)
 
     def __init__(
         self,
@@ -62,8 +69,8 @@ class OusterInput(SensorInput):
         self.profile = self.PROFILES[prof_name]
         if return_index not in (0, 1):
             raise ValueError("return_index must be 0 or 1")
-        if return_index == 1 and self.profile != 3:
-            raise ValueError("return_index=1 requires the DUAL profile")
+        if return_index == 1 and self.profile not in self.DUAL_PROFILES:
+            raise ValueError("return_index=1 requires a DUAL profile")
         self.return_index = return_index
         self.altitude = np.deg2rad(
             np.asarray(sensor_info["beam_altitude_angles"], np.float32)
@@ -158,7 +165,7 @@ class OusterInput(SensorInput):
     def _decode_python(self, packet: bytes, host_stamp_ns: int) -> None:
         R = self.pixels_per_column
         eudp = self.profile != 0
-        pixel_bytes = {0: 12, 1: 12, 2: 4, 3: 16}[self.profile]
+        pixel_bytes = {0: 12, 1: 12, 2: 4, 3: 16, 4: 8}[self.profile]
         header = 32 if eudp else 0
         col_header = 12 if eudp else 16
         col_footer = 0 if eudp else 4
@@ -192,6 +199,12 @@ class OusterInput(SensorInput):
                 range_mm = px[:, ro : ro + 4].copy().view(np.uint32)[:, 0] & 0x0007FFFF
                 so = 8 + 2 * self.return_index
                 signal = px[:, so : so + 2].copy().view(np.uint16)[:, 0]
+            elif self.profile == 4:
+                ro = 4 * self.return_index
+                r16 = px[:, ro : ro + 2].copy().view(np.uint16)[:, 0]
+                range_mm = (r16 & 0x7FFF).astype(np.uint32) * 8
+                signal = None
+                inten8 = px[:, ro + 2].copy()  # calibrated reflectivity
             else:
                 mask = 0x0007FFFF if self.profile == 1 else 0x000FFFFF
                 range_mm = px[:, :4].copy().view(np.uint32)[:, 0] & mask

@@ -101,6 +101,17 @@ def main():
         measure(f"cc s={sweeps} j={njump}",
                 {"CCT_SWEEPS": str(sweeps), "CCT_CC_JUMP": str(njump)})
 
+    # deferred-jump region (round-3 defaults are s=3 after=2 j=2); the
+    # sweeps>3 half was never measured — more sweeps per launch cut the
+    # change-detect reduces between launches at the cost of VMEM time
+    if not quick:
+        for sweeps, after in [(3, 2), (4, 2), (5, 2), (6, 3), (4, 99)]:
+            measure(
+                f"cc s={sweeps} after={after}",
+                {"CCT_SWEEPS": str(sweeps), "CCT_CC_JUMP": "2",
+                 "CCT_CC_JUMP_AFTER": str(after)},
+            )
+
     for mode in (["rows"] if quick else ["pack", "rows", "plain"]):
         measure(f"agg={mode}", {"CCT_AGG": mode})
 

@@ -467,6 +467,95 @@ def test_ouster_dual_return_index_validation():
         OusterInput(info)
 
 
+def _ouster_fusa_packet(info, ranges_m=(10.0, 14.0), refls=(210, 80), m_id=0):
+    """Synthetic FUSA_RNG15_RFL8_NIR8_DUAL packet: 8-byte pixels — per
+    return r in {0,1} range u16 @4r (15 bits, 8 mm granularity) and
+    calibrated reflectivity u8 @(2+4r); near_ir u8 @3 (byte 7 reserved)."""
+    R = info["data_format"]["pixels_per_column"]
+    cols = info["data_format"]["columns_per_packet"]
+    out = b"\x00" * 32
+    for c in range(cols):
+        out += struct.pack(
+            "<QHH", 1000 + c, (m_id + c) % info["data_format"]["columns_per_frame"], 1
+        )
+        for r in range(R):
+            r0 = int(round(ranges_m[0] * 1000.0 / 8.0)) & 0x7FFF
+            r1 = int(round(ranges_m[1] * 1000.0 / 8.0)) & 0x7FFF
+            out += struct.pack("<HBBHBB", r0, refls[0], 33, r1, refls[1], 0)
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("return_index", [0, 1])
+def test_ouster_fusa_dual_decode(use_native, return_index):
+    """FUSA dual profile: 8 mm range granularity per return; intensity is
+    the selected return's calibrated reflectivity byte (no SIGNAL field,
+    so no 0-1000 scaling).  Both returns and both decoders agree with the
+    hand-computed geometry."""
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    info["data_format"]["udp_profile_lidar"] = "FUSA_RNG15_RFL8_NIR8_DUAL"
+    dec = OusterInput(info, use_native=use_native, return_index=return_index)
+    firings = []
+    dec.add_on_new_firing_callback(lambda f: firings.append(f))
+    pkt = _ouster_fusa_packet(info, ranges_m=(10.0, 14.0), refls=(210, 80))
+    dec.on_packet(pkt, host_stamp_ns=42)
+    assert len(firings) == info["data_format"]["columns_per_packet"]
+    f = firings[0]
+    d = np.linalg.norm(f["xyz"], axis=1)
+    # ranges quantize to 8 mm; 10.0 and 14.0 m are exact multiples
+    want_r = (10.0, 14.0)[return_index]
+    assert np.all(np.abs(d - want_r) < 0.05)
+    assert np.all(f["intensity"] == (210, 80)[return_index])
+    # hand-computed XYZ of pixel 0 in column 0 (m_id=0 => theta_enc=2*pi)
+    alt = np.deg2rad(info["beam_altitude_angles"][0])
+    azo = np.deg2rad(info["beam_azimuth_angles"][0])
+    n = info["lidar_origin_to_beam_origin_mm"] * 1e-3
+    theta_enc = 2.0 * np.pi
+    theta = theta_enc + azo
+    rc = want_r - n
+    want_xyz = np.array(
+        [
+            rc * np.cos(theta) * np.cos(alt) + n * np.cos(theta_enc),
+            rc * np.sin(theta) * np.cos(alt) + n * np.sin(theta_enc),
+            rc * np.sin(alt),
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(f["xyz"][0], want_xyz, atol=2e-2)
+
+
+def test_ouster_fusa_native_matches_python():
+    import copy
+    import json
+
+    from continuous_clustering_tpu.sensors.ouster import OusterInput
+
+    info = copy.deepcopy(
+        json.load(open("/root/reference/calibrations/touareg_os32_left.json"))
+    )
+    info["data_format"]["udp_profile_lidar"] = "FUSA_RNG15_RFL8_NIR8_DUAL"
+    pkt = _ouster_fusa_packet(info, ranges_m=(7.5, 21.0), refls=(17, 255), m_id=3)
+    for ri in (0, 1):
+        outs = []
+        for use_native in (True, False):
+            dec = OusterInput(info, use_native=use_native, return_index=ri)
+            firings = []
+            dec.add_on_new_firing_callback(lambda f: firings.append(f))
+            dec.on_packet(pkt, host_stamp_ns=7)
+            outs.append(firings)
+        assert len(outs[0]) == len(outs[1]) > 0
+        for fn, fp in zip(outs[0], outs[1]):
+            np.testing.assert_allclose(fn["xyz"], fp["xyz"], atol=1e-5)
+            np.testing.assert_array_equal(fn["intensity"], fp["intensity"])
+
+
 # ---------------------------------------------------------------- velodyne
 # decode-fidelity goldens: expected values hand-computed from the public
 # velodyne_pointcloud math (the parser the reference delegates to,
