@@ -58,6 +58,42 @@ from .state import RingState, clear_columns_chunk, ring_read, ring_write
 I32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _use_cm_labels() -> bool:
+    """Column-major window label ids (CCT_LABEL=cm, the default).
+
+    Labels are per-component minima of the cell ids, so the id ENUMERATION
+    is a free choice.  Column-major ids (``c * R + r``) make the winning
+    representative the member with the smallest window COLUMN, which has two
+    payoffs in the linkage block (the measured hot spot, docs/ROUND3_NOTES):
+
+    * a brand-new component's ``gmin`` (minimum member global column — the
+      reference's ``minimum_required_global_column_index`` source,
+      …cpp:943-959) is derivable from its representative's global column at
+      K scale, deleting one R*B-lane scatter segment: batch cells can never
+      lower an EXISTING slot's gmin (all previous members have strictly
+      smaller global columns), so per-cell gmin contributions only ever
+      mattered for new slots;
+    * in the column-major value space the batch region is the contiguous id
+      tail ``[H*R:)``, so per-label scatter sources slice to R*B lanes.
+
+    ``rm`` (row-major, the original convention) is kept for on-chip A/B.
+    """
+    import os
+
+    return os.environ.get("CCT_LABEL", "cm") != "rm"
+
+
+def _jump_take(Lflat: jax.Array, f: jax.Array, R: int, WCOL: int) -> jax.Array:
+    """One pointer-jump hop: label at the cell whose id is ``f``.
+
+    ``Lflat`` is the row-major flattening of the (R, WCOL) label grid; under
+    column-major ids the cell of id v sits at row-major position
+    ``(v % R) * WCOL + v // R``."""
+    if _use_cm_labels():
+        return jnp.take(Lflat, (f % R) * WCOL + f // R)
+    return jnp.take(Lflat, f)
+
+
 class AssocInputs(NamedTuple):
     gcol0: jax.Array   # () i32 first new column
     n_cols: jax.Array  # () i32 number of valid new columns (<= B)
@@ -125,10 +161,25 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     # re-deriving every existing component from scratch each batch
     K_ = cl.max_active_components
     ah = active_w[:, :H] & (slot_h >= 0)
-    wlid_h = (
-        jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
-        + jnp.arange(H, dtype=jnp.int32)[None, :]
-    )
+    if _use_cm_labels():
+        # column-major cell ids: c * R + r (see _use_cm_labels)
+        wlid_h = (
+            jnp.arange(R, dtype=jnp.int32)[:, None]
+            + jnp.arange(H, dtype=jnp.int32)[None, :] * R
+        )
+        wlid_b = (
+            jnp.arange(R, dtype=jnp.int32)[:, None]
+            + jnp.arange(H, WCOL, dtype=jnp.int32)[None, :] * R
+        )
+    else:
+        wlid_h = (
+            jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
+            + jnp.arange(H, dtype=jnp.int32)[None, :]
+        )
+        wlid_b = (
+            jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
+            + jnp.arange(H, WCOL, dtype=jnp.int32)[None, :]
+        )
     m_slot = (
         jnp.full(K_, R * WCOL, jnp.int32)
         .at[jnp.where(ah, slot_res, K_)]
@@ -136,11 +187,7 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
     )
     pre = jnp.take(m_slot, jnp.clip(slot_res, 0, K_ - 1))
     L0 = jnp.concatenate(
-        [
-            jnp.where(ah, jnp.minimum(pre, wlid_h), wlid_h),
-            jnp.arange(R, dtype=jnp.int32)[:, None] * WCOL
-            + jnp.arange(H, WCOL, dtype=jnp.int32)[None, :],
-        ],
+        [jnp.where(ah, jnp.minimum(pre, wlid_h), wlid_h), wlid_b],
         axis=1,
     )
 
@@ -303,14 +350,20 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
     Returns ``(labels, converged)`` — ``converged`` is False iff the loop
     hit ``max_iters`` with labels still changing (a pathological chain the
     caller must surface rather than silently mislabel)."""
-    wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
     if L0 is not None:
         wlid = L0
+    elif _use_cm_labels():
+        wlid = (
+            jnp.arange(R, dtype=jnp.int32)[:, None]
+            + jnp.arange(WCOL, dtype=jnp.int32)[None, :] * R
+        )
+    else:
+        wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
 
     def jump(L):
         f = L.reshape(-1)
-        f = jnp.take(f, f)
-        f = jnp.take(f, f)
+        f = _jump_take(f, f, R, WCOL)  # pointer doubling: f stays
+        f = _jump_take(f, f, R, WCOL)  # position-indexed through the hops
         return f.reshape(R, WCOL)
 
     def cond(c):
@@ -648,13 +701,25 @@ def associate_and_complete(
 
 
     # ---- window labels -> component slots ---------------------------------
+    # Everything keyed "per label" below runs in ID SPACE: flat arrays
+    # aligned with the cell-id enumeration, so that at a representative lane
+    # the id-space index equals the label value (lab == self_wl) and
+    # value-indexed tables (m0, slot_of_label) read elementwise.  Under
+    # column-major ids (the default, _use_cm_labels) id space is the
+    # TRANSPOSE of the (R, WCOL) storage layout and the batch region is the
+    # contiguous id tail [H*R:); under row-major ids it is position space.
     n_wc = R * WCOL
+    cm = _use_cm_labels()
     self_wl = jnp.arange(n_wc, dtype=jnp.int32)
-    lab = Lw.reshape(-1)                      # converged window labels (wlids)
-    activef = active_w.reshape(-1)
-    batchf = jnp.concatenate(
-        [jnp.zeros((R, H), bool), active_b], axis=1
-    ).reshape(-1)
+    if cm:
+        lab = Lw.T.reshape(-1)                # converged labels, id space
+        activef = active_w.T.reshape(-1)
+        rank_shape = (WCOL, R)
+    else:
+        lab = Lw.reshape(-1)
+        activef = active_w.reshape(-1)
+        rank_shape = (R, WCOL)
+    lab_b = Lw[:, H:]                         # (R, B) batch labels (storage)
     # batch columns may hold stale slots from one rotation ago (see
     # _edge_bits); only halo cells (the first H window columns) carry
     # slots, so the whole label<->slot linkage runs on R*H-sized arrays
@@ -742,7 +807,7 @@ def associate_and_complete(
     # rep *is* a batch member and no member count is needed here
     is_rep = activef & (lab == self_wl)
     need_new = is_rep & (m0 >= SENT)
-    nn2d = need_new.reshape(R, WCOL).astype(jnp.int32)
+    nn2d = need_new.reshape(rank_shape).astype(jnp.int32)
     within = jnp.cumsum(nn2d, axis=0)                  # 2D rank (1D cumsum at
     ctot = within[-1]                                  # n_wc lowers poorly)
     coff = jnp.cumsum(ctot) - ctot
@@ -770,7 +835,7 @@ def associate_and_complete(
         # fakes of identical shape/dtype (results are garbage)
         new_slot_l = jnp.clip(new_rank - 1, 0, K - 1)
         slot_of_label = jnp.where(need_new, new_slot_l, jnp.clip(m0, 0, K - 1))
-        cell_slot = jnp.where(batchf, lab % K, -1)
+        cs_b2d = jnp.where(active_b, lab_b % K, -1)
     elif agg_pack:
         # ONE gather over the concatenated [free_compact | slot_parent]
         # table: need_new labels read their freshly allocated slot, the
@@ -786,11 +851,11 @@ def associate_and_complete(
             jnp.concatenate([free_compact, slot_parent]), gidx
         )
         new_slot_l = slot_of_label  # == free allocation at need_new lanes
-        cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
+        cs_b2d = jnp.where(active_b, jnp.take(slot_of_label, lab_b), -1)
     else:
         new_slot_l = jnp.take(free_compact, jnp.clip(new_rank - 1, 0, K - 1))
 
-        # final slot per label position (valid where the label has members)
+        # final slot per label id (valid where the label has members)
         slot_of_label = jnp.where(
             need_new,
             new_slot_l,
@@ -798,12 +863,14 @@ def associate_and_complete(
         )
 
         # ---- write batch cells' slots (and finish azimuths) to the ring ---
-        cell_slot = jnp.where(batchf, jnp.take(slot_of_label, jnp.where(batchf, lab, 0)), -1)
+        # (slot_of_label is value-indexed, so batch-position labels index it
+        # directly — the gather sources R*B lanes, not the full window)
+        cs_b2d = jnp.where(active_b, jnp.take(slot_of_label, lab_b), -1)
     wmask = (jnp.arange(B) < inputs.n_cols)[None, :]
     cur_slot = ring_read(state.slot, lc0b, B)
     slot_ring = ring_write(
         state.slot, lc0b,
-        jnp.where(wmask, cell_slot.reshape(R, WCOL)[:, H:], cur_slot),
+        jnp.where(wmask, cs_b2d, cur_slot),
     )
     cur_fin = ring_read(state.finish_az, lc0b, B)
     fin_ring = ring_write(
@@ -856,18 +923,38 @@ def associate_and_complete(
     live_t = state.slot_live.at[alloc_idx].set(True, mode="drop")
     valid_t = valid_t.at[alloc_idx].set(True, mode="drop")
     tgt_new = jnp.where(need_new, new_slot_l, K)
-    rep_glid = (self_wl // WCOL) * rc + (
-        inputs.gcol0 - H + self_wl % WCOL
-    ) % rc
+    if cm:
+        # id v = c * R + r: the representative is the component's minimum-
+        # COLUMN member, so its global column also serves as the new slot's
+        # gmin (derived at K scale below)
+        rep_glid = (self_wl % R) * rc + (
+            inputs.gcol0 - H + self_wl // R
+        ) % rc
+    else:
+        rep_glid = (self_wl // WCOL) * rc + (
+            inputs.gcol0 - H + self_wl % WCOL
+        ) % rc
 
     # batch contributions scatter DIRECTLY into the K table keyed by each
     # cell's final slot (one level of batch-sized scatters instead of a
     # per-label reduce followed by a label->K scatter; commutative
     # combiners make the two formulations identical).  Sources are sliced
-    # to the batch region — halo lanes never contribute.
-    cs_b = cell_slot.reshape(R, WCOL)[:, H:].reshape(-1)
+    # to the batch region — halo lanes never contribute.  Under cm ids the
+    # gmin quantity needs NO per-cell scatter at all: batch cells cannot
+    # lower an existing slot's gmin (their global columns exceed every
+    # previous batch's), and a new slot's gmin is its representative's
+    # column, recovered from rep_t at K scale after the scatter.
+    cs_b = cs_b2d.reshape(-1)
     cs_idx = jnp.where(cs_b >= 0, cs_b, K)
     gw_b = jnp.broadcast_to(awcols[None, H:], (R, B)).reshape(-1)
+    if cm:
+        # batch ids are the contiguous tail of id space: rep scatter
+        # sources slice to R*B lanes
+        nn_s, tgt_s, repv_s = (
+            need_new[H * R :], tgt_new[H * R :], rep_glid[H * R :]
+        )
+    else:
+        nn_s, tgt_s, repv_s = need_new, tgt_new, rep_glid
     if "subagg" in profile_cut or "subrep" in profile_cut:
         # perf probe: elementwise fakes keeping cheap deps on the real
         # sources (min(max(x),0) cannot be constant-folded away)
@@ -876,16 +963,15 @@ def associate_and_complete(
         gmin_t = jnp.minimum(gmin_t, jnp.min(gw_b) - dep)
         gmax_t = jnp.maximum(gmax_t, dep - 1)
         cnt_t = cnt_t + dep
-        rep_t = state.slot_rep + jnp.minimum(jnp.max(tgt_new) + jnp.max(rep_glid), 0)
+        rep_t = state.slot_rep + jnp.minimum(jnp.max(tgt_s) + jnp.max(repv_s), 0)
     elif agg_mode == "rows":
-        # per-ROW batched scatters: vmap over the row axis lowers to one
-        # HLO scatter with operand_batching_dims — R independent K-tables,
-        # reduced over rows afterwards (K-sized elementwise).  Exact: max/
-        # min/add are associative-commutative and the row partials start at
+        # per-ROW batched scatters: vmap over the leading axis lowers to one
+        # HLO scatter with operand_batching_dims — independent K-tables,
+        # reduced over that axis afterwards (K-sized elementwise).  Exact:
+        # max/min/add are associative-commutative and the partials start at
         # the combiner identity.  Experimental alternative to "pack" for
         # backends that vectorize batched scatters across the batch dim.
-        cs2 = cell_slot.reshape(R, WCOL)[:, H:]
-        ci2 = jnp.where(cs2 >= 0, cs2, K)
+        ci2 = jnp.where(cs_b2d >= 0, cs_b2d, K)
         fkey2 = _f32_sort_key(finish_b)
         gw2 = jnp.broadcast_to(awcols[None, H:], (R, B))
         fkey_id = _f32_sort_key(jnp.float32(-jnp.inf))
@@ -898,52 +984,73 @@ def associate_and_complete(
 
         finp = row_sc(fkey_id, "max")(ci2, fkey2).max(axis=0)
         fin_t = _f32_from_key(jnp.maximum(_f32_sort_key(fin_t), finp))
-        gmin_t = jnp.minimum(gmin_t, row_sc(I32_MAX, "min")(ci2, gw2).min(axis=0))
+        if not cm:
+            gmin_t = jnp.minimum(
+                gmin_t, row_sc(I32_MAX, "min")(ci2, gw2).min(axis=0)
+            )
         gmax_t = jnp.maximum(gmax_t, row_sc(-1, "max")(ci2, gw2).max(axis=0))
         cnt_t = cnt_t + row_sc(0, "add")(
-            ci2, jnp.where(cs2 >= 0, 1, 0)
+            ci2, jnp.where(cs_b2d >= 0, 1, 0)
         ).sum(axis=0)
-        tgt2 = jnp.where(need_new, tgt_new, K).reshape(R, WCOL)
-        repv2 = rep_glid.reshape(R, WCOL)
+        tgt2 = jnp.where(nn_s, tgt_s, K).reshape(-1, R if cm else WCOL)
+        repv2 = repv_s.reshape(-1, R if cm else WCOL)
         rep_t = jnp.maximum(
             state.slot_rep, row_sc(-1, "max")(tgt2, repv2).max(axis=0)
         )
     elif agg_pack:
-        # ONE scatter-max over a concatenated (4K,) i32 table carries the
-        # three max/min aggregates (gmin negated, fin through the monotone
-        # f32<->i32 sort key) AND the new-slot representative write (set ==
-        # max: freed slots reset rep to -1 in completion, so the current
-        # value at any allocation target is -1).  The count stays a
+        # ONE scatter-max over a concatenated i32 table carries the max/min
+        # aggregates (fin through the monotone f32<->i32 sort key; under rm
+        # ids also gmin, negated) AND the new-slot representative write
+        # (set == max: freed slots reset rep to -1 in completion, so the
+        # current value at any allocation target is -1).  The count stays a
         # separate add-scatter.  The merge is exact; it exists because the
         # compiled step pays a ~0.2 ms fixed cost per irregular op while
-        # the per-lane cost is negligible (docs/ROUND3_NOTES.md).
+        # the per-lane cost is ~6.5 ns (docs/ROUND3_NOTES.md).
+        # segments: (scatter index base mask, source values, table initial);
+        # the table offset of each segment is its position in this list
+        segs = [
+            (cs_b, _f32_sort_key(finish_b.reshape(-1)), _f32_sort_key(fin_t)),
+        ]
+        if not cm:
+            segs.append((cs_b, I32_MAX - gw_b, I32_MAX - gmin_t))  # -gmin
+        segs.append((cs_b, gw_b, gmax_t))                          # gmax
+        segs.append(
+            (jnp.where(nn_s, tgt_s, -1), repv_s, state.slot_rep)   # rep
+        )
+        NSEG = len(segs)
         i_cat = jnp.concatenate([
-            jnp.where(cs_b >= 0, cs_b, 4 * K),           # fin (key) seg 0
-            jnp.where(cs_b >= 0, cs_b + K, 4 * K),       # -gmin     seg 1
-            jnp.where(cs_b >= 0, cs_b + 2 * K, 4 * K),   # gmax      seg 2
-            jnp.where(need_new, tgt_new + 3 * K, 4 * K),  # rep      seg 3
+            jnp.where(idx >= 0, idx + j * K, NSEG * K)
+            for j, (idx, _, _) in enumerate(segs)
         ])
-        v_cat = jnp.concatenate([
-            _f32_sort_key(finish_b.reshape(-1)),
-            I32_MAX - gw_b,
-            gw_b,
-            rep_glid,
-        ])
-        t_cat = jnp.concatenate([
-            _f32_sort_key(fin_t), I32_MAX - gmin_t, gmax_t, state.slot_rep,
-        ])
+        v_cat = jnp.concatenate([v for _, v, _ in segs])
+        t_cat = jnp.concatenate([t for _, _, t in segs])
         t_cat = t_cat.at[i_cat].max(v_cat, mode="drop")
         fin_t = _f32_from_key(t_cat[:K])
-        gmin_t = I32_MAX - t_cat[K:2 * K]
-        gmax_t = t_cat[2 * K:3 * K]
-        rep_t = t_cat[3 * K:]
+        if cm:
+            gmax_t = t_cat[K : 2 * K]
+            rep_t = t_cat[2 * K :]
+        else:
+            gmin_t = I32_MAX - t_cat[K : 2 * K]
+            gmax_t = t_cat[2 * K : 3 * K]
+            rep_t = t_cat[3 * K :]
         cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
     else:
-        rep_t = state.slot_rep.at[tgt_new].set(rep_glid, mode="drop")
+        rep_t = state.slot_rep.at[jnp.where(nn_s, tgt_s, K)].set(
+            repv_s, mode="drop"
+        )
         fin_t = fin_t.at[cs_idx].max(finish_b.reshape(-1), mode="drop")
-        gmin_t = gmin_t.at[cs_idx].min(gw_b, mode="drop")
+        if not cm:
+            gmin_t = gmin_t.at[cs_idx].min(gw_b, mode="drop")
         gmax_t = gmax_t.at[cs_idx].max(gw_b, mode="drop")
         cnt_t = cnt_t.at[cs_idx].add(jnp.where(cs_b >= 0, 1, 0), mode="drop")
+    if cm and "subagg" not in profile_cut and "subrep" not in profile_cut:
+        # new-slot gmin from the representative (cm ids: rep = min-column
+        # member).  Exact: existing slots' gmins are strictly below gcol0,
+        # so batch cells never lower them; merges fold via fold_demoted.
+        is_new_alloc = live_t & ~state.slot_live
+        lcol_rep = rep_t % rc
+        gmin_new = inputs.gcol0 + (lcol_rep - inputs.gcol0) % rc
+        gmin_t = jnp.where(is_new_alloc, gmin_new, gmin_t)
 
     # ---- completion (…cpp:837-974), all K-sized ---------------------------
     newest = jnp.maximum(newest_gcol, 0) % rc

@@ -216,9 +216,11 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "2"))
 
     def jump(L):
+        from .association import _jump_take
+
         f = L.reshape(-1)
         for _ in range(max(n_jump, 1)):
-            f = jnp.take(f, f)
+            f = _jump_take(f, f, R, WCOL)
         return f.reshape(R, WCOL)
 
     def cond(c):

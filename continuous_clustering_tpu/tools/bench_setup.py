@@ -13,12 +13,43 @@ import os
 import numpy as np
 
 
+def host_cpu_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.
+
+    XLA:CPU AOT cache entries embed the COMPILE machine's features; loading
+    them on a host with a different feature set can SIGILL/abort (observed:
+    this container migrates across heterogeneous hosts, and stale
+    /tmp/cct_xla_cache entries aborted mid-test with 'Fatal Python error:
+    Aborted' in jax Array._value).  Keying the cache directory by the CPU
+    fingerprint makes foreign entries unreachable."""
+    import hashlib
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except Exception:  # pragma: no cover
+        return "unknown"
+
+
+def compile_cache_dir() -> str:
+    cache = os.environ.get("CCT_COMPILE_CACHE")
+    if cache:
+        return cache
+    return f"/tmp/cct_xla_cache_{host_cpu_fingerprint()}"
+
+
 def enable_compile_cache() -> None:
     """Persistent XLA compile cache: avoids fresh big compiles, which have
-    historically wedged the TPU tunnel (docs/ROUND1_NOTES.md)."""
+    historically wedged the TPU tunnel (docs/ROUND1_NOTES.md).  The cache
+    directory is per-host-CPU (see host_cpu_fingerprint)."""
     import jax
 
-    cache = os.environ.get("CCT_COMPILE_CACHE", "/tmp/cct_xla_cache")
+    cache = compile_cache_dir()
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -23,8 +23,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", platform)
 
-# persistent compilation cache: repeat test runs skip recompiles
-_cache = os.environ.get("CCT_COMPILE_CACHE", "/tmp/cct_xla_cache")
+# persistent compilation cache: repeat test runs skip recompiles.  The
+# directory is keyed by the host CPU fingerprint: XLA:CPU AOT entries
+# compiled on a different host can abort at load time (SIGILL/SIGABRT —
+# this container migrates across heterogeneous machines, and a shared
+# /tmp/cct_xla_cache flaked the suite with 'Fatal Python error: Aborted').
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from continuous_clustering_tpu.tools.bench_setup import (  # noqa: E402
+    compile_cache_dir,
+)
+
+_cache = compile_cache_dir()
 if _cache:
+    os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

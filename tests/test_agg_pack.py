@@ -95,3 +95,56 @@ def test_packed_matches_plain_pipeline(seed, monkeypatch):
     assert fu0 == fu1 == fur
     assert c0 == c1 == cr
     assert len(c0) > 0
+
+
+@pytest.mark.parametrize("agg", ["pack", "plain"])
+def test_cm_labels_match_rm_pipeline(agg, monkeypatch):
+    """Whole-pipeline equivalence of the column-major window-id convention
+    (CCT_LABEL=cm, the default — new-slot gmin derived from the
+    representative, no per-cell gmin scatter) vs the original row-major
+    ids.  Cluster id NUMBERING may differ (slot allocation order is rank-
+    dependent), so the comparison is order-insensitive: the multiset of
+    (size, stamp) clusters and the publish frontier."""
+    import continuous_clustering_tpu as cct
+    from continuous_clustering_tpu.evaluation.synthetic import (
+        frame_to_firings,
+        make_scene,
+        raycast_frame,
+    )
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    num_rows, num_cols = 32, 220
+    scene = make_scene(num_boxes=12, seed=2, spread=24.0, min_radius=4.0)
+    xyz, _ = raycast_frame(scene, num_rows=num_rows, num_columns=num_cols, seed=2)
+    firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10 ** 8)
+
+    def run(label_mode: str):
+        monkeypatch.setenv("CCT_LABEL", label_mode)
+        monkeypatch.setenv("CCT_AGG", agg)
+        jax.clear_caches()
+        cfg = cct.kitti_config()
+        cfg = cfg.replace(
+            range_image=cfg.range_image.__class__(
+                num_columns=num_cols, ring_buffer_revolutions=4
+            )
+        )
+        pipe = ContinuousClustering(cfg, firing_batch_size=32)
+        pipe.reset(num_rows)
+        pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+        clusters = []
+        pipe.set_finished_cluster_callback(
+            lambda pts, stamp: clusters.append((len(pts), int(stamp)))
+        )
+        for rev in range(3):
+            for f in firings:
+                pipe.add_firing(dict(f), np.eye(4))
+        pipe.flush()
+        return clusters, pipe.first_unpublished_global_column_index
+
+    c_cm, fu_cm = run("cm")
+    c_rm, fu_rm = run("rm")
+    assert fu_cm == fu_rm
+    assert sorted(c_cm) == sorted(c_rm)
+    assert len(c_cm) > 0
