@@ -278,8 +278,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
     else:
-        ensure_backend()
+        platform = ensure_backend()
 
     import continuous_clustering_tpu as cct
     from continuous_clustering_tpu.models.continuous_clustering import (
@@ -368,6 +369,12 @@ def main():
         if k in out:
             stage_rates.append(out[k])
     headline = min(stage_rates)
+    if platform == "cpu" and not smoke:
+        # the accelerator was unreachable (wedged tunnel): the number below
+        # is a CPU fallback, NOT the TPU rate — flag it unmistakably
+        out["platform"] = "cpu (TPU unavailable — fallback, not a TPU rate)"
+    else:
+        out["platform"] = platform
     out.update(
         metric="streaming_points_per_second_per_chip",
         value=round(headline, 1),
