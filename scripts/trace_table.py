@@ -94,6 +94,42 @@ def main():
         note = notes.get(k.lstrip("%"), "")
         print(f"  {v/1e9:8.3f}  {k:22s} {src} {note}")
 
+    # stage buckets: classify every op by its source file/op_name so the
+    # whole-step budget decomposes at a glance (the per-op table above only
+    # covers the top 30; the long tail is where 'everything else' hides)
+    def bucket_of(key: str) -> str:
+        full = meta_full[key]
+        note = notes.get(key.lstrip("%"), "")
+        text = full + " " + note
+        rules = [
+            ("cc_pallas", "cc-kernels"),
+            ("custom-call", "cc-kernels"),
+            ("ingest.py", "ingest"),
+            ("ground_segmentation.py", "seg"),
+            ("insertion.py", "insertion"),
+            ("readout.py", "slab"),
+            ("state.py", "ring-ops"),
+            ("while", "loops"),
+        ]
+        for pat, b in rules:
+            if pat in text:
+                return b
+        if "association.py" in text:
+            m2 = re.search(r"association\.py:(\d+)", text)
+            ln2 = int(m2.group(1)) if m2 else 0
+            if ln2 and ln2 < 660:
+                return "assoc-bits/cc"
+            return "assoc-linkage"
+        return "other"
+
+    buckets = {}
+    for k, v in agg.items():
+        buckets[bucket_of(k)] = buckets.get(bucket_of(k), 0) + v
+    total = sum(agg.values())
+    print(f"\nstage buckets (ms/rev, total {total/1e9:.3f}):")
+    for b, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {v/1e9:8.3f}  {100*v/total:5.1f}%  {b}")
+
 
 if __name__ == "__main__":
     main()
