@@ -7,13 +7,19 @@ stream).  ``--num-threads N`` parallelizes over frames.
 
 Usage:
     python -m continuous_clustering_tpu.tools.gt_label_generator \
-        <kitti_folder> [sequences...] [--num-threads N]
+        <kitti_folder> [sequences...] [--num-threads N] [--zip OUT.zip]
+
+``--zip`` additionally archives every ``labels_euclidean_clustering``
+directory under ``dataset/sequences/<seq>/…`` — the same layout the
+reference's ``scripts/zip_euclidean_clustering_labels.sh`` produces for
+sharing generated ground truth.
 """
 
 from __future__ import annotations
 
 import concurrent.futures
 import sys
+import zipfile
 from pathlib import Path
 
 import numpy as np
@@ -37,9 +43,30 @@ def process_single_frame(seq_dir: Path, frame: int) -> str:
     return str(out)
 
 
+def zip_generated_labels(root: Path, sequences, out_zip: Path) -> int:
+    """Archive labels_euclidean_clustering dirs as dataset/sequences/<seq>/…
+    (reference scripts/zip_euclidean_clustering_labels.sh layout).  Returns
+    the number of label files archived."""
+    n = 0
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        for sequence in sequences:
+            lbl_dir = root / sequence / "labels_euclidean_clustering"
+            if not lbl_dir.is_dir():
+                continue
+            for f in sorted(lbl_dir.glob("*.label")):
+                zf.write(
+                    f,
+                    f"dataset/sequences/{sequence}/"
+                    f"labels_euclidean_clustering/{f.name}",
+                )
+                n += 1
+    return n
+
+
 def main(argv=None):
     parser = CommandLineParser(argv if argv is not None else sys.argv[1:])
     num_threads = int(parser.get_value_for_argument("--num-threads", "1"))
+    zip_out = parser.get_value_for_argument("--zip", "")
     rest = parser.get_remaining_args()
     if not rest:
         raise SystemExit("usage: gt_label_generator <kitti_folder> [sequences...]")
@@ -60,6 +87,10 @@ def main(argv=None):
     else:
         for seq_dir, frame in jobs:
             print(process_single_frame(seq_dir, frame))
+
+    if zip_out:
+        n = zip_generated_labels(root, sequences, Path(zip_out))
+        print(f"archived {n} label files to {zip_out}")
 
 
 if __name__ == "__main__":

@@ -69,6 +69,24 @@ def test_euclidean_gt_labels(dataset):
         assert seen.setdefault(lab, inst) == inst, f"label {lab} spans instances"
 
 
+def test_gt_label_zip_layout(dataset, tmp_path):
+    """--zip archives generated labels under dataset/sequences/<seq>/… —
+    the layout of the reference's zip_euclidean_clustering_labels.sh."""
+    import zipfile
+
+    from continuous_clustering_tpu.tools.gt_label_generator import main
+
+    out = tmp_path / "labels.zip"
+    main([str(dataset), "00", "--zip", str(out)])
+    names = zipfile.ZipFile(out).namelist()
+    assert names, "empty archive"
+    assert all(
+        n.startswith("dataset/sequences/00/labels_euclidean_clustering/")
+        and n.endswith(".label")
+        for n in names
+    ), names
+
+
 def test_ose_use_metrics_basics():
     # perfect clustering: zero entropies
     gt = np.array([1, 1, 1, 2, 2, 0])
