@@ -1,0 +1,23 @@
+#!/bin/bash
+# Tunnel watcher: probe the TPU tunnel in a bounded subprocess until it
+# answers, then bank the full queued measurement session (tpu_session.sh).
+# Run detached:  setsid nohup bash scripts/tpu_watch.sh > /tmp/tpu_watch.log 2>&1 &
+# Stop:          kill $(cat /tmp/tpu_watch.pid)
+# ONE TPU process at a time (CLAUDE.md): do not run pytest/builds meanwhile.
+echo $$ > /tmp/tpu_watch.pid
+cd /root/repo
+n=0
+while true; do
+  n=$((n+1))
+  echo "[watch] probe $n $(date -u +%H:%M:%S)"
+  if timeout 120 python -c "
+import jax, jax.numpy as jnp, numpy as np
+assert jax.devices()[0].platform == 'tpu', jax.devices()
+print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))"; then
+    echo "[watch] tunnel up after $n probes; starting session $(date -u +%H:%M:%S)"
+    bash scripts/tpu_session.sh 2>&1 | tee /tmp/tpu_session.log
+    echo "[watch] SESSION DONE $(date -u +%H:%M:%S)"
+    break
+  fi
+  sleep 180
+done
