@@ -14,6 +14,10 @@ print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 #    sorted/unique scatter lowering (docs/ROUND3_NOTES.md)
 timeout 1500 python scripts/microbench_scatter_context.py 2>&1 | grep -E "case|error"
 
+# 0b. structural half of the same question: what lowering does each
+#     scatter flag combination get in TPU optimized HLO?
+timeout 600 python scripts/scatter_hlo_inventory.py --dump 2>&1 | grep -vE "WARNING|^$"
+
 # 1. kernel equality + step time at current defaults (cm ids, sweeps=3)
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
 
