@@ -125,6 +125,25 @@ def test_pipeline_matches_oracle_partition():
         assert stamp > 0
 
 
+@pytest.mark.parametrize("seed,num_boxes", [(11, 3), (23, 14), (37, 8)])
+def test_pipeline_matches_oracle_fuzz(seed, num_boxes):
+    """Multi-seed fuzz: randomized scenes (sparse / cluttered / mixed)
+    through the SAME jitted program vs the sequential oracle.  Guards the
+    batching/seam logic against scene-shape edge cases the fixed-seed
+    tests happen to miss (jit reuse keeps the sweep cheap)."""
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(seed=seed, num_boxes=num_boxes)
+    o_labels, o_ground = collect_oracle(cfg, firings, poses)
+    p_labels, p_ground, _ = collect_pipeline(cfg, firings, poses)
+
+    common = set(o_labels) & set(p_labels)
+    assert len(common) > 0.9 * len(o_labels)
+    g_match = np.mean([o_ground[k] == p_ground[k] for k in common])
+    assert g_match == 1.0, f"seed {seed}: ground label agreement {g_match}"
+    agreement = partition_agreement(o_labels, p_labels)
+    assert agreement >= 0.995, f"seed {seed}: partition agreement {agreement}"
+
+
 def test_pipeline_with_stop_heuristic():
     """Reference's stop_after_association prunes edges; agreement stays high."""
     cfg = small_config(stop_after_association=True)
