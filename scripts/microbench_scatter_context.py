@@ -185,6 +185,65 @@ def main():
 
     timed("scatter_packed4_varying", packed4, (t4, idx0), it, 4 * NSRC)
 
+    # --- sort-based aggregation candidates ---------------------------------
+    # If sorted/unique scatters vectorize (see varying_sorted/unique above),
+    # the aggregate scatters could run as: co-sort (idx, payloads) once,
+    # then scatter with indices_are_sorted=True.  These probes price the
+    # pieces: the sort itself, sort+sorted-scatter, and sort+segmented-scan
+    # +unique-set (deduplicated targets; flags off because OOB fillers break
+    # sortedness, so the win there would come from set-lowering alone).
+
+    def sort_only(c):
+        acc, idx = c
+        sk, sv = jax.lax.sort((idx, val0), num_keys=1)
+        return acc + sk[0] + sv[-1], (idx * 1103515245 + 12345) % K
+
+    timed("sort_cost_1key_1payload", sort_only,
+          (jnp.int32(0), idx0), it, NSRC)
+
+    def sort_only4(c):
+        acc, idx = c
+        sk, a, b, d = jax.lax.sort((idx, val0, val0 + 1, val0 + 2),
+                                   num_keys=1)
+        return acc + sk[0] + a[-1] + b[0] + d[-1], \
+            (idx * 1103515245 + 12345) % K
+
+    timed("sort_cost_1key_3payload", sort_only4,
+          (jnp.int32(0), idx0), it, NSRC)
+
+    def sort_then_sorted_scatter(c):
+        tbl, idx = c
+        sk, sv = jax.lax.sort((idx, val0), num_keys=1)
+        t = tbl.at[sk].max(sv, mode="drop", indices_are_sorted=True)
+        return t, (idx * 1103515245 + 12345) % K
+
+    timed("sort_then_sorted_scatter", sort_then_sorted_scatter,
+          (tbl0, idx0), it, NSRC)
+
+    def sort_seg_unique_set(c):
+        tbl, idx = c
+        sk, sv = jax.lax.sort((idx, val0), num_keys=1)
+        # segmented running max over contiguous equal-key runs
+        def comb(a, b):
+            ka, ma = a
+            kb, mb = b
+            same = (ka == kb).astype(jnp.int32)
+            return kb, jnp.maximum(mb, same * ma + (same - 1) * 2147483647)
+        _, m = jax.lax.associative_scan(comb, (sk, sv))
+        last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+        t = tbl.at[jnp.where(last, sk, K)].set(m, mode="drop")
+        return t, (idx * 1103515245 + 12345) % K
+
+    timed("sort_seg_unique_set", sort_seg_unique_set,
+          (tbl0, idx0), it, NSRC)
+
+    def scatter_set_varying(c):
+        tbl, idx = c
+        t = tbl.at[idx].set(val0, mode="drop")
+        return t, (idx * 1103515245 + 12345) % K
+
+    timed("scatter_set_varying", scatter_set_varying, (tbl0, idx0), it, NSRC)
+
     # candidate: compact active lanes once (scatter NSRC->cap) then packed
     # scatter from 4*cap lanes (cap = NSRC/2)
     cap = NSRC // 2
