@@ -156,6 +156,8 @@ def _bench_scan_device(pipe, cfg, firings, n_points_per_rev, num_cols):
         t1 = time.perf_counter()
     if bool(state.overflow):
         raise RuntimeError("ring overflow during bench")
+    if bool(state.cc_failed):
+        raise RuntimeError("CC non-convergence during bench")
     assert fu > 0
     pipe._state = state
     return n_rev * n_points_per_rev / (t1 - t0)

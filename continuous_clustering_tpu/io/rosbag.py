@@ -238,13 +238,19 @@ def write_messages(path, messages, compression: str = "none") -> None:
          (b"size", struct.pack("<I", len(inner)))],
         chunk_data,
     )
-    bag_header = _emit_record(
-        [(b"op", bytes([OP_BAG_HEADER])),
-         (b"index_pos", struct.pack("<Q", 0)),
-         (b"conn_count", struct.pack("<I", len(topics))),
-         (b"chunk_count", struct.pack("<I", 1))],
-        b"\x20" * 4096,  # the spec pads the bag header record to 4 KiB
-    )
+    # The spec pads the TOTAL bag-header record to exactly 4096 bytes
+    # (header_len + header + data_len + space padding), so index_pos /
+    # conn_count can later be rewritten in place; strict C++ rosbag readers
+    # validate the 4 KiB record size.
+    bh_fields = [
+        (b"op", bytes([OP_BAG_HEADER])),
+        (b"index_pos", struct.pack("<Q", 0)),
+        (b"conn_count", struct.pack("<I", len(topics))),
+        (b"chunk_count", struct.pack("<I", 1)),
+    ]
+    bh_header_len = len(_emit_header(bh_fields))
+    bag_header = _emit_record(bh_fields, b"\x20" * (4096 - bh_header_len - 8))
+    assert len(bag_header) == 4096
     Path(path).write_bytes(MAGIC + bag_header + chunk)
 
 

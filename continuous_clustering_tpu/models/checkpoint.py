@@ -19,7 +19,7 @@ from ..ops.state import RingState
 _SCALARS = [
     "prev_rearmost", "prev_foremost", "first_unfinished", "ring_start",
     "ring_end", "first_unpublished", "cluster_counter", "origin_rot",
-    "reset_required", "overflow",
+    "reset_required", "overflow", "cc_failed",
 ]
 
 
@@ -53,6 +53,9 @@ def load_state(pipe, path) -> None:
     pipe._host_ins = None
     kwargs = {}
     for f in dataclasses.fields(pipe.state):
+        if f.name not in data:  # fields added after the snapshot was taken
+            kwargs[f.name] = getattr(pipe.state, f.name)
+            continue
         kwargs[f.name] = jnp.asarray(data[f.name])
     pipe._state = RingState(**kwargs)
     h = data["_h_mirrors"]

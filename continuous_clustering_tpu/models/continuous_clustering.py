@@ -450,6 +450,14 @@ class ContinuousClustering:
         if bool(info.reset_required):
             self._reset_required = True
             return 0
+        if bool(info.cc_failed):
+            raise RuntimeError(
+                "Connected-components labeling did not converge within the "
+                "64-round cap (labels still changing). This is a correctness "
+                "failure, not a throughput one: raise CCT_SWEEPS or enable "
+                "pointer jumps (CCT_CC_JUMP/CCT_CC_JUMP_AFTER) — slowing the "
+                "input stream cannot help."
+            )
         if bool(info.overflow):
             raise RuntimeError(
                 "Ring buffer overflow: a column was not cleared before reuse. "
@@ -536,6 +544,16 @@ class ContinuousClustering:
     def _maybe_rebase(self) -> None:
         rot = self._h_first_unpublished // self._config.range_image.num_columns
         if rot - self._h_origin_rot > self._rebase_after:
+            # Cached/in-flight publish slabs hold cont_az relative to the OLD
+            # origin; a slab-served read after the origin moves would add
+            # TWO_PI * new_origin to un-shifted values, inflating published
+            # azimuths by 2*pi*delta.  Consume everything first, then drop
+            # the cache.  Rebase fires once per _rebase_after (256) rotations,
+            # so the drain's pipeline bubble is negligible.
+            self._drain_pending()
+            self._slab = None
+            self._slab_np = None
+            rot = self._h_first_unpublished // self._config.range_image.num_columns
             delta = rot - self._h_origin_rot
             self._state, _ = rebase_azimuth(self._state, delta)
             self._h_origin_rot += delta

@@ -32,6 +32,7 @@ class StepInfo(NamedTuple):
     cluster_counter_old: jax.Array  # () i32
     reset_required: jax.Array    # () bool
     overflow: jax.Array          # () bool
+    cc_failed: jax.Array         # () bool: CC fixpoint hit the round cap
     # publish slab: packed per-cell readout of columns [fu_old, fu_old + W)
     # (W = the static ``slab_cols``; (N_SLAB_ROWS, R, W) i32, zero-size when
     # disabled).  Riding the readout on the step outputs makes steady-state
@@ -93,6 +94,7 @@ def pipeline_step_block(
             fu_old=s.first_unpublished, fu_new=s.first_unpublished,
             num_new_clusters=zero, cluster_counter_old=s.cluster_counter,
             reset_required=s.reset_required, overflow=s.overflow,
+            cc_failed=s.cc_failed,
             slab=_publish_slab(s, s.first_unpublished, 0),
         )
 
@@ -134,6 +136,7 @@ def pipeline_step_block(
         cluster_counter_old=counter_old,
         reset_required=state.reset_required,
         overflow=state.overflow,
+        cc_failed=state.cc_failed,
         slab=_publish_slab(state, cres.fu_old, slab_cols),
     )
     return state, info
@@ -215,6 +218,7 @@ def pipeline_step(
         cluster_counter_old=counter_old,
         reset_required=state.reset_required,
         overflow=state.overflow,
+        cc_failed=state.cc_failed,
         slab=_publish_slab(state, cres.fu_old, slab_cols),
     )
     return state, info

@@ -696,8 +696,11 @@ def associate_and_complete(
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
     if "subcc" in profile_cut:
-        # perf probe: bypass the CC fixpoint (labels = seed; garbage output)
+        # perf probe: bypass the CC fixpoint (labels = seed; garbage output).
+        # cc_ok must also be forced, or its consumption by the cc_failed flag
+        # keeps the whole while_loop live and the probe measures full CC cost.
         Lw = L0
+        cc_ok = jnp.asarray(True)
 
 
     # ---- window labels -> component slots ---------------------------------
@@ -1163,10 +1166,12 @@ def associate_and_complete(
     window_overflow = has_data & (
         (newest_gcol - rc >= fu_old)
         | ((ring_start_old >= 0) & (newest_gcol - rc >= ring_start_old))
-        # CC non-convergence (64-round cap hit with labels still changing) is
-        # surfaced the same way: mislabeled output must be loud, not silent
-        | ~cc_ok
     )
+    # CC non-convergence (64-round cap hit with labels still changing) must be
+    # loud, but it is a labeling-correctness failure, not a ring/throughput
+    # one — surfacing it as "overflow" would send operators chasing the wrong
+    # remediation (slowing the stream cannot help).  Separate flag.
+    cc_failed = state.cc_failed | (has_data & ~cc_ok)
 
     state = dataclasses.replace(
         state,
@@ -1188,6 +1193,7 @@ def associate_and_complete(
         clear_bound=clear_bound_new,
         clear_target=clear_target_new,
         overflow=state.overflow | window_overflow | slot_overflow,
+        cc_failed=cc_failed,
     )
     # bounded chunk clear toward the target (O(B) per batch; reference
     # clearColumns, ...cpp:1094-1145, cleared eagerly on the publish thread)

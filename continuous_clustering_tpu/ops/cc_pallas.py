@@ -219,7 +219,7 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         from .association import _jump_take
 
         f = L.reshape(-1)
-        for _ in range(max(n_jump, 1)):
+        for _ in range(n_jump):  # n_jump=0 => identity (true jump-free mode)
             f = _jump_take(f, f, R, WCOL)
         return f.reshape(R, WCOL)
 

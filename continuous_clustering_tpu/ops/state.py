@@ -108,6 +108,11 @@ class RingState:
     origin_rot: jax.Array          # i32: azimuth origin in whole rotations
     reset_required: jax.Array      # bool
     overflow: jax.Array            # bool: ring buffer overflow detected
+    # bool: CC fixpoint hit its 64-round cap with labels still changing —
+    # a labeling-correctness failure (raise CCT_SWEEPS / jump knobs), NOT a
+    # throughput problem; kept distinct from `overflow` so the host can give
+    # the right remediation
+    cc_failed: jax.Array
 
     # stage B cross-column carry: last valid inclination diff per row (f32 (R,))
     incl_diffs: jax.Array
@@ -170,6 +175,7 @@ def init_state(config: Config, num_rows: int) -> RingState:
         origin_rot=jnp.asarray(0, jnp.int32),
         reset_required=jnp.asarray(False),
         overflow=jnp.asarray(False),
+        cc_failed=jnp.asarray(False),
         incl_diffs=jnp.full((num_rows,), nan, dtype=jnp.float32),
     )
 

@@ -419,3 +419,37 @@ def test_publish_slab_zero_dispatch_emission():
         f"emission needed {pipe.n_fetch_dispatches} on-demand fetch "
         f"dispatches; the publish slab must cover steady-state emission"
     )
+
+
+def test_cc_nonconvergence_raises_distinct_error():
+    """CC non-convergence must NOT masquerade as a ring overflow: the
+    remediation differs (iteration/jump knobs vs stream rate)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import pytest
+
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    pipe = ContinuousClustering(small_config(), firing_batch_size=16)
+    pipe.reset(4)
+    info_fields = dict(
+        gcol0=jnp.asarray(0), n_cols=jnp.asarray(1),
+        fu_old=jnp.asarray(0), fu_new=jnp.asarray(1),
+        num_new_clusters=jnp.asarray(0), cluster_counter_old=jnp.asarray(1),
+        reset_required=jnp.asarray(False), slab=jnp.zeros((0,), jnp.int32),
+    )
+    from continuous_clustering_tpu.models.step import StepInfo
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pipe._consume_info(StepInfo(
+            overflow=jnp.asarray(False), cc_failed=jnp.asarray(True),
+            **info_fields,
+        ))
+    with pytest.raises(RuntimeError, match="overflow"):
+        pipe._consume_info(StepInfo(
+            overflow=jnp.asarray(True), cc_failed=jnp.asarray(False),
+            **info_fields,
+        ))

@@ -80,3 +80,60 @@ def test_rebase_is_transparent():
         * np.pi
     )
     assert abs(np.nanmedian(az) - expected) < 0.5
+
+
+def _run_checking_slab_reads(single_threaded: bool):
+    """Regression: a publish slab cached (or in flight) BEFORE a rebase must
+    not be served with the NEW azimuth origin afterwards — that inflated
+    published continuous azimuths by 2*pi*delta."""
+    import dataclasses as dc
+
+    cfg = small_config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=NUM_COLS, ring_buffer_revolutions=4
+        ),
+        general=dc.replace(cfg.general, is_single_threaded=single_threaded),
+    )
+    pipe = ContinuousClustering(cfg, firing_batch_size=55, rebase_after_rotations=2)
+    pipe.reset(NUM_ROWS)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    scene = make_scene(num_boxes=5, seed=4, spread=15.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS, seed=4)
+    col_w = 2 * np.pi / NUM_COLS
+    rebases_seen = 0
+    uidx_base = 0
+    for rev in range(8):
+        firings = frame_to_firings(xyz, frame_index=rev)
+        for f in firings:
+            f["uidx"] = f["uidx"] + np.uint64(uidx_base)
+        uidx_base += NUM_COLS * NUM_ROWS * 2
+        prev_origin = pipe._h_origin_rot
+        for f in firings:
+            pipe.add_firing(f, np.eye(4))
+            if pipe._h_origin_rot != prev_origin:
+                rebases_seen += 1
+                prev_origin = pipe._h_origin_rot
+                # read the freshest published columns RIGHT after the rebase:
+                # with the stale-slab bug these carry azimuths 2*pi*delta too big
+                fu = pipe.first_unpublished_global_column_index
+                if fu >= 5:
+                    cloud = pipe.get_columns(fu - 5, fu - 1)
+                    az = cloud["continuous_azimuth_angle"]
+                    if np.any(np.isfinite(az)):
+                        med = float(np.nanmedian(az))
+                        expected = (fu - 3) * col_w
+                        assert abs(med - expected) < 1.0, (
+                            f"stale publish slab after rebase: med az {med} "
+                            f"!= expected {expected}"
+                        )
+    pipe.flush()
+    assert rebases_seen >= 1, "rebase never triggered"
+
+
+def test_slab_invalidated_on_rebase_sync():
+    _run_checking_slab_reads(single_threaded=True)
+
+
+def test_slab_invalidated_on_rebase_async():
+    _run_checking_slab_reads(single_threaded=False)

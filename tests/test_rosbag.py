@@ -214,3 +214,20 @@ def test_make_minimal_rosbag_cli(tmp_path):
     dst = tmp_path / "min.bag"
     rc = main([str(src), str(dst), "--topics", "/keep"])
     assert rc == 0 and dst.exists()
+
+
+def test_bag_header_record_is_exactly_4096_bytes(tmp_path):
+    """ROSBAG V2.0 fixes the bag-header RECORD (header_len + header +
+    data_len + padding) at exactly 4096 bytes so index_pos/conn_count can be
+    rewritten in place; strict C++ readers validate this."""
+    import struct
+
+    from continuous_clustering_tpu.io.rosbag import MAGIC, write_messages
+
+    path = tmp_path / "hdr.bag"
+    write_messages(path, [("/t", b"topic=/t\n", 1, b"x")])
+    raw = path.read_bytes()
+    off = len(MAGIC)
+    (hlen,) = struct.unpack_from("<I", raw, off)
+    (dlen,) = struct.unpack_from("<I", raw, off + 4 + hlen)
+    assert 4 + hlen + 4 + dlen == 4096
