@@ -828,7 +828,9 @@ def associate_and_complete(
     )
     # CCT_AGG: "pack" (default) = 4-in-1 packed scatter-max; "rows" =
     # per-row batched scatters (vmap -> HLO operand_batching_dims) reduced
-    # over the row axis; "plain" = one scatter per quantity.  All exact.
+    # over the row axis; "sort" = one stable sort + segmented scan, then
+    # unique-index scatters of the per-run aggregates; "plain" = one
+    # scatter per quantity.  All exact.
     agg_mode = os.environ.get("CCT_AGG", "")
     if not agg_mode:
         agg_mode = "pack" if os.environ.get("CCT_AGG_PACK", "1") == "1" else "plain"
@@ -999,6 +1001,80 @@ def associate_and_complete(
         repv2 = repv_s.reshape(-1, R if cm else WCOL)
         rep_t = jnp.maximum(
             state.slot_rep, row_sc(-1, "max")(tgt2, repv2).max(axis=0)
+        )
+    elif agg_mode in ("sort", "sortc"):
+        # Sort-based aggregation: ONE stable sort of the packed segment-
+        # offset keys brings equal slots adjacent; a segmented associative
+        # scan reduces each run; only run-END lanes scatter, so the final
+        # scatters carry unique_indices=True.  Exact (same monotone i32
+        # keys as "pack"; count is the segment-0 run length, any add order).
+        # Exists to answer whether duplicate-free scatters lower to a
+        # faster TPU emit than the duplicate-heavy packed scatter — the
+        # scatter-context probe measures the primitive, this measures the
+        # full program (docs/ROUND3_NOTES.md).
+        segs = [
+            (cs_b, _f32_sort_key(finish_b.reshape(-1)), _f32_sort_key(fin_t)),
+        ]
+        if not cm:
+            segs.append((cs_b, I32_MAX - gw_b, I32_MAX - gmin_t))  # -gmin
+        segs.append((cs_b, gw_b, gmax_t))                          # gmax
+        segs.append(
+            (jnp.where(nn_s, tgt_s, -1), repv_s, state.slot_rep)   # rep
+        )
+        NSEG = len(segs)
+        i_cat = jnp.concatenate([
+            jnp.where(idx >= 0, idx + j * K, NSEG * K)
+            for j, (idx, _, _) in enumerate(segs)
+        ])
+        v_cat = jnp.concatenate([v for _, v, _ in segs])
+        t_cat = jnp.concatenate([t for _, _, t in segs])
+        key, val = jax.lax.sort((i_cat, v_cat), num_keys=1)
+        boundary = key[1:] != key[:-1]
+        start = jnp.concatenate([jnp.ones((1,), bool), boundary])
+        run_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+        ones = (key < K).astype(jnp.int32)  # segment-0 lanes carry counts
+
+        def _seg_comb(a, b):
+            fa, ma, sa = a
+            fb, mb, sb = b
+            return (
+                fa | fb,
+                jnp.where(fb, mb, jnp.maximum(ma, mb)),
+                jnp.where(fb, sb, sa + sb),
+            )
+
+        _, smax, ssum = jax.lax.associative_scan(_seg_comb, (start, val, ones))
+        if agg_mode == "sortc":
+            # compact run-end lanes into a SORTED unique prefix (second sort;
+            # non-ends move to the sentinel tail), so the final scatters get
+            # indices_are_sorted AND unique_indices on an NSEG*K-lane source
+            # instead of the full concat width.  Distinct real keys <= NSEG*K,
+            # so the static prefix holds every run end.
+            ckey = jnp.where(run_end, key, NSEG * K)
+            ckey, smax, ssum = jax.lax.sort((ckey, smax, ssum), num_keys=1)
+            key = ckey[: NSEG * K]
+            smax = smax[: NSEG * K]
+            ssum = ssum[: NSEG * K]
+            run_end = jnp.ones(key.shape, bool)
+            sidx = key
+            t_cat = t_cat.at[sidx].max(
+                smax, mode="drop", unique_indices=True, indices_are_sorted=True
+            )
+        else:
+            sidx = jnp.where(run_end, key, NSEG * K)
+            t_cat = t_cat.at[sidx].max(smax, mode="drop", unique_indices=True)
+        fin_t = _f32_from_key(t_cat[:K])
+        if cm:
+            gmax_t = t_cat[K : 2 * K]
+            rep_t = t_cat[2 * K :]
+        else:
+            gmin_t = I32_MAX - t_cat[K : 2 * K]
+            gmax_t = t_cat[2 * K : 3 * K]
+            rep_t = t_cat[3 * K :]
+        cidx = jnp.where(run_end & (key < K), key, K)
+        cnt_t = cnt_t.at[cidx].add(
+            ssum, mode="drop", unique_indices=True,
+            indices_are_sorted=(agg_mode == "sortc"),
         )
     elif agg_pack:
         # ONE scatter-max over a concatenated i32 table carries the max/min

@@ -4,7 +4,7 @@ Measures, in ONE process (sequentially, no concurrency):
   1. link health (round-trip floor)
   2. baseline full-program rate (x3 trials)
   3. CC knob matrix (CCT_SWEEPS x CCT_CC_JUMP)
-  4. aggregate-scatter mode (CCT_AGG: pack / rows / plain)
+  4. aggregate-scatter mode (CCT_AGG: pack / rows / plain / sort / sortc)
   5. subclear / subcomp substitution probes
 
 Prints one JSON line per measurement; exits nonzero if the link is
@@ -81,6 +81,7 @@ def main():
                 "tag": tag, "ms_per_rev": round(dt * 1000, 2),
                 "pts_per_s": round(n_points / dt), "fu": fu,
                 "overflow": bool(np.asarray(state.overflow)),
+                "cc_failed": bool(np.asarray(state.cc_failed)),
             }), flush=True)
             return dt
         except Exception as e:  # noqa: BLE001
@@ -112,7 +113,7 @@ def main():
                  "CCT_CC_JUMP_AFTER": str(after)},
             )
 
-    for mode in (["rows"] if quick else ["pack", "rows", "plain"]):
+    for mode in (["rows"] if quick else ["pack", "rows", "plain", "sort", "sortc"]):
         measure(f"agg={mode}", {"CCT_AGG": mode})
 
     if not quick:

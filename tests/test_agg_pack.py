@@ -92,8 +92,10 @@ def test_packed_matches_plain_pipeline(seed, monkeypatch):
     c0, fu0 = run("0")
     c1, fu1 = run("1")
     cr, fur = run("rows")
-    assert fu0 == fu1 == fur
-    assert c0 == c1 == cr
+    cs, fus = run("sort")
+    cc, fuc = run("sortc")
+    assert fu0 == fu1 == fur == fus == fuc
+    assert c0 == c1 == cr == cs == cc
     assert len(c0) > 0
 
 
