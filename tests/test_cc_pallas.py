@@ -23,8 +23,8 @@ def test_pallas_snake_chain_converges(monkeypatch):
     """Adversarial CC input: one serpentine component whose label chain
     spans whole windows.  With deferred pointer jumps (CCT_CC_JUMP_AFTER)
     this is the worst case — the fixpoint must still converge inside the
-    64-round cap (non-convergence is loud: ring-overflow RuntimeError)
-    and match the XLA fallback exactly."""
+    64-round cap (non-convergence is loud: the distinct cc_failed
+    RuntimeError) and match the XLA fallback exactly."""
     import numpy as np
 
     from continuous_clustering_tpu.evaluation.synthetic import frame_to_firings
