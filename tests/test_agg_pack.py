@@ -150,3 +150,59 @@ def test_cm_labels_match_rm_pipeline(agg, monkeypatch):
     assert fu_cm == fu_rm
     assert sorted(c_cm) == sorted(c_rm)
     assert len(c_cm) > 0
+
+
+@pytest.mark.parametrize("agg", ["sort", "sortc"])
+def test_sort_agg_matches_pack_when_lanes_exceed_table(agg, monkeypatch):
+    """With a small component table (K=256) the concat width 3*R*B far
+    exceeds NSEG*K, so sortc's compaction slice genuinely truncates (the
+    other tests run with lanes < NSEG*K where the static slice is a no-op).
+    Equality vs the packed path must still hold."""
+    import dataclasses as dc
+
+    import continuous_clustering_tpu as cct
+    from continuous_clustering_tpu.evaluation.synthetic import (
+        frame_to_firings,
+        make_scene,
+        raycast_frame,
+    )
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+
+    num_rows, num_cols = 32, 220
+    scene = make_scene(num_boxes=10, seed=5, spread=22.0, min_radius=4.0)
+    xyz, _ = raycast_frame(scene, num_rows=num_rows, num_columns=num_cols, seed=5)
+    firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10 ** 8)
+
+    def run(mode: str):
+        monkeypatch.setenv("CCT_AGG", mode)
+        jax.clear_caches()
+        cfg = cct.kitti_config()
+        cfg = cfg.replace(
+            range_image=cfg.range_image.__class__(
+                num_columns=num_cols, ring_buffer_revolutions=4
+            )
+        )
+        cfg = cfg.replace(
+            clustering=dc.replace(cfg.clustering, max_active_components=256)
+        )
+        pipe = ContinuousClustering(cfg, firing_batch_size=64)
+        pipe.reset(num_rows)
+        pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+        clusters = []
+        pipe.set_finished_cluster_callback(
+            lambda pts, stamp: clusters.append((len(pts), int(stamp)))
+        )
+        for rev in range(2):
+            for f in firings:
+                pipe.add_firing(dict(f), np.eye(4))
+        pipe.flush()
+        return clusters, pipe.first_unpublished_global_column_index
+
+    # lanes = 3 * R * batch_cols = 3*32*96 = 9216 > NSEG*K = 768
+    cp, fup = run("pack")
+    cs, fus = run(agg)
+    assert fup == fus
+    assert cp == cs
+    assert len(cp) > 0
