@@ -238,10 +238,11 @@ def write_messages(path, messages, compression: str = "none") -> None:
          (b"size", struct.pack("<I", len(inner)))],
         chunk_data,
     )
-    # The spec pads the TOTAL bag-header record to exactly 4096 bytes
-    # (header_len + header + data_len + space padding), so index_pos /
-    # conn_count can later be rewritten in place; strict C++ rosbag readers
-    # validate the 4 KiB record size.
+    # ros_comm's writeFileHeaderRecord pads HEADER + DATA (excluding the two
+    # 4-byte length prefixes) to FILE_HEADER_LENGTH = 4096, i.e. data_len =
+    # 4096 - header_len and the record totals 4104 bytes, so `rosbag
+    # reindex` can rewrite index_pos / conn_count in place without
+    # clobbering the first chunk record that follows.
     bh_fields = [
         (b"op", bytes([OP_BAG_HEADER])),
         (b"index_pos", struct.pack("<Q", 0)),
@@ -249,8 +250,8 @@ def write_messages(path, messages, compression: str = "none") -> None:
         (b"chunk_count", struct.pack("<I", 1)),
     ]
     bh_header_len = len(_emit_header(bh_fields))
-    bag_header = _emit_record(bh_fields, b"\x20" * (4096 - bh_header_len - 8))
-    assert len(bag_header) == 4096
+    bag_header = _emit_record(bh_fields, b"\x20" * (4096 - bh_header_len))
+    assert len(bag_header) == 4104
     Path(path).write_bytes(MAGIC + bag_header + chunk)
 
 

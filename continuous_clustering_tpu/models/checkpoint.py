@@ -16,13 +16,6 @@ import numpy as np
 
 from ..ops.state import RingState
 
-_SCALARS = [
-    "prev_rearmost", "prev_foremost", "first_unfinished", "ring_start",
-    "ring_end", "first_unpublished", "cluster_counter", "origin_rot",
-    "reset_required", "overflow", "cc_failed",
-]
-
-
 def save_state(pipe, path) -> None:
     """Snapshot a ContinuousClustering pipeline to <path>.npz."""
     pipe.flush()

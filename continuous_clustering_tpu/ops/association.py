@@ -1044,24 +1044,28 @@ def associate_and_complete(
             )
 
         _, smax, ssum = jax.lax.associative_scan(_seg_comb, (start, val, ones))
+        # masked (non-run-end / sentinel) lanes take DISTINCT out-of-bounds
+        # indices (NSEG*K + lane) so the unique_indices promise is literally
+        # true — XLA documents unique_indices with duplicate indices as
+        # implementation-defined even when they are all dropped
+        oob = NSEG * K + jnp.arange(key.shape[0], dtype=jnp.int32)
         if agg_mode == "sortc":
             # compact run-end lanes into a SORTED unique prefix (second sort;
-            # non-ends move to the sentinel tail), so the final scatters get
-            # indices_are_sorted AND unique_indices on an NSEG*K-lane source
-            # instead of the full concat width.  Distinct real keys <= NSEG*K,
-            # so the static prefix holds every run end.
-            ckey = jnp.where(run_end, key, NSEG * K)
+            # non-ends move to the ascending OOB tail), so the final scatters
+            # get indices_are_sorted AND unique_indices on an NSEG*K-lane
+            # source instead of the full concat width.  Distinct real keys
+            # <= NSEG*K, so the static prefix holds every run end.
+            ckey = jnp.where(run_end, key, oob)
             ckey, smax, ssum = jax.lax.sort((ckey, smax, ssum), num_keys=1)
             key = ckey[: NSEG * K]
             smax = smax[: NSEG * K]
             ssum = ssum[: NSEG * K]
             run_end = jnp.ones(key.shape, bool)
-            sidx = key
-            t_cat = t_cat.at[sidx].max(
+            t_cat = t_cat.at[key].max(
                 smax, mode="drop", unique_indices=True, indices_are_sorted=True
             )
         else:
-            sidx = jnp.where(run_end, key, NSEG * K)
+            sidx = jnp.where(run_end, key, oob)
             t_cat = t_cat.at[sidx].max(smax, mode="drop", unique_indices=True)
         fin_t = _f32_from_key(t_cat[:K])
         if cm:
@@ -1071,7 +1075,12 @@ def associate_and_complete(
             gmin_t = I32_MAX - t_cat[K : 2 * K]
             gmax_t = t_cat[2 * K : 3 * K]
             rep_t = t_cat[3 * K :]
-        cidx = jnp.where(run_end & (key < K), key, K)
+        # same unique-OOB trick for the count add (table size K: K + lane is
+        # dropped, distinct per lane, and keeps ascending order under sortc)
+        cidx = jnp.where(
+            run_end & (key < K), key,
+            K + jnp.arange(key.shape[0], dtype=jnp.int32),
+        )
         cnt_t = cnt_t.at[cidx].add(
             ssum, mode="drop", unique_indices=True,
             indices_are_sorted=(agg_mode == "sortc"),

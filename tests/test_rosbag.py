@@ -216,10 +216,11 @@ def test_make_minimal_rosbag_cli(tmp_path):
     assert rc == 0 and dst.exists()
 
 
-def test_bag_header_record_is_exactly_4096_bytes(tmp_path):
-    """ROSBAG V2.0 fixes the bag-header RECORD (header_len + header +
-    data_len + padding) at exactly 4096 bytes so index_pos/conn_count can be
-    rewritten in place; strict C++ readers validate this."""
+def test_bag_header_record_matches_ros_comm_padding(tmp_path):
+    """ros_comm pads the bag-header record's HEADER + DATA (excluding both
+    4-byte length prefixes) to FILE_HEADER_LENGTH = 4096 (a 4104-byte
+    record), so `rosbag reindex` can rewrite index_pos/conn_count in place
+    without clobbering the following chunk record."""
     import struct
 
     from continuous_clustering_tpu.io.rosbag import MAGIC, write_messages
@@ -230,4 +231,10 @@ def test_bag_header_record_is_exactly_4096_bytes(tmp_path):
     off = len(MAGIC)
     (hlen,) = struct.unpack_from("<I", raw, off)
     (dlen,) = struct.unpack_from("<I", raw, off + 4 + hlen)
-    assert 4 + hlen + 4 + dlen == 4096
+    assert hlen + dlen == 4096
+    # the next record (the chunk) must start exactly after the 4104-byte
+    # header record and still parse
+    from continuous_clustering_tpu.io.rosbag import read_messages
+
+    msgs = list(read_messages(path))
+    assert len(msgs) == 1 and msgs[0][3] == b"x"
