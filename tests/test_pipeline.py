@@ -144,6 +144,75 @@ def test_pipeline_matches_oracle_fuzz(seed, num_boxes):
     assert agreement >= 0.995, f"seed {seed}: partition agreement {agreement}"
 
 
+CONFIG_FUZZ = {
+    # tight clustering radius + short wedges (small H: exercises the halo
+    # slicing at a width none of the fixed tests use)
+    "tight": dict(
+        clustering=dict(max_distance=0.3, max_steps_in_row=8,
+                        max_steps_in_column=5),
+    ),
+    # stop heuristic with a non-default min_steps and chessboard skip off
+    "stop2": dict(
+        clustering=dict(stop_after_association_enabled=True,
+                        stop_after_association_min_steps=2,
+                        ignore_points_in_chessboard_pattern=False),
+    ),
+    # ground-segmentation rule thresholds off their defaults (reference
+    # dynamic_reconfigure surface, cfg/ContinuousClustering.cfg)
+    "ground": dict(
+        ground_segmentation=dict(
+            max_slope=0.35,
+            last_ground_point_slope_higher_than=-0.3,
+            last_ground_point_distance_smaller_than=9.0,
+            ground_because_close_to_last_certain_ground_max_z_diff=0.2,
+            obstacle_because_next_certain_obstacle_max_dist_diff=0.6,
+        ),
+    ),
+    # odd completion cadence + last-point cluster stamps
+    "nth7": dict(
+        clustering=dict(cluster_point_trees_every_nth_column=7,
+                        use_last_point_for_cluster_stamp=True),
+    ),
+    # inclination-diff ignore off (default-on rule disabled)
+    "noincl": dict(
+        clustering=dict(ignore_points_with_too_big_inclination_angle_diff=False),
+    ),
+}
+
+
+# the stop heuristic prunes edges against the per-column publish frontier,
+# which our batch-granularity pipeline evaluates at batch starts (PARITY.md
+# "Known intentional differences") — same slack as
+# test_pipeline_with_stop_heuristic below
+CONFIG_FUZZ_MIN_AGREEMENT = {"stop2": 0.98}
+
+
+@pytest.mark.parametrize("name", sorted(CONFIG_FUZZ))
+def test_pipeline_matches_oracle_config_fuzz(name):
+    """Config-space fuzz: the scene fuzz above varies geometry at the
+    default config; this varies the 23-parameter config surface (wedge
+    widths, stop heuristic, ground rules, completion cadence) on one scene
+    and requires the same oracle agreement.  Guards parameters the fixed
+    goldens never move."""
+    cfg = small_config(stop_after_association=False)
+    groups = CONFIG_FUZZ[name]
+    for group, fields in groups.items():
+        cfg = cfg.replace(
+            **{group: dataclasses.replace(getattr(cfg, group), **fields)}
+        )
+    firings, poses = make_stream(seed=19, num_boxes=10)
+    o_labels, o_ground = collect_oracle(cfg, firings, poses)
+    p_labels, p_ground, _ = collect_pipeline(cfg, firings, poses)
+
+    common = set(o_labels) & set(p_labels)
+    assert len(common) > 0.9 * len(o_labels)
+    g_match = np.mean([o_ground[k] == p_ground[k] for k in common])
+    assert g_match == 1.0, f"{name}: ground label agreement {g_match}"
+    agreement = partition_agreement(o_labels, p_labels)
+    floor = CONFIG_FUZZ_MIN_AGREEMENT.get(name, 0.995)
+    assert agreement >= floor, f"{name}: partition agreement {agreement}"
+
+
 def test_pipeline_with_stop_heuristic():
     """Reference's stop_after_association prunes edges; agreement stays high."""
     cfg = small_config(stop_after_association=True)
