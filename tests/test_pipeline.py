@@ -151,11 +151,13 @@ CONFIG_FUZZ = {
         clustering=dict(max_distance=0.3, max_steps_in_row=8,
                         max_steps_in_column=5),
     ),
-    # stop heuristic with a non-default min_steps and chessboard skip off
+    # stop heuristic with a non-default min_steps, plus chessboard skip ON
+    # (kitti_config defaults it off, so this is the oracle-agreement
+    # coverage for the chessboard path in the vectorized pipeline)
     "stop2": dict(
         clustering=dict(stop_after_association_enabled=True,
                         stop_after_association_min_steps=2,
-                        ignore_points_in_chessboard_pattern=False),
+                        ignore_points_in_chessboard_pattern=True),
     ),
     # ground-segmentation rule thresholds off their defaults (reference
     # dynamic_reconfigure surface, cfg/ContinuousClustering.cfg)
