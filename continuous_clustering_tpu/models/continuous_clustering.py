@@ -120,13 +120,26 @@ class ContinuousClustering:
         self._pending_infos = []
         self._last_pose = np.eye(4)
         self._last_ncols = 0
-        # publish-slab cache: (lo_gcol, hi_gcol, device_array) of the last
-        # consumed step's packed readout; get_columns within [lo, hi) is
-        # served from it with zero extra device dispatches
+        # publish-slab cache: (lo_gcol, hi_gcol, head_dev, tail_dev) of the
+        # last consumed step's packed readout; get_columns within [lo, hi)
+        # is served from it with zero extra device dispatches.  The device
+        # slab is split head/tail so the typical (narrow) publish window
+        # transfers only the head's bytes (models/step.py _publish_slab).
         self._slab = None
         self._slab_np = None
+        # assembled-records cache: (lo, hi, records) of the last native
+        # full-window assembly; the emit path and the column callback read
+        # overlapping ranges of the same window every consumed step, so the
+        # second consumer gets a contiguous slice instead of a re-assembly
+        self._cloud_cache = None
         # observability for the zero-dispatch-emission guarantee (tested)
         self.n_fetch_dispatches = 0
+        # optional publish trace: when set to a list, _consume_info appends
+        # one dict per consumed step (real publish windows + counter ranges
+        # + the materialized slab) — bench.py replays these to measure the
+        # true per-revolution host publish cost; also handy for sizing the
+        # slab head (window-width stats)
+        self._publish_trace = None
         self._build_jits()
 
     def _build_jits(self) -> None:
@@ -168,17 +181,27 @@ class ContinuousClustering:
             self._slab_W = min(w_env, rc)
         else:
             self._slab_W = min(1 << (2 * self._batch_B - 1).bit_length(), rc)
+        # head width: the publish window is typically (frontier lag +
+        # n_cols) wide — the head covers that common case so the per-step
+        # transfer pays only its bytes; the tail rides along for the rare
+        # wide window (both are step outputs: zero extra dispatches either
+        # way).  CCT_SLAB_W1 overrides (0/unset = auto: half the slab).
+        w1_env = int(os.environ.get("CCT_SLAB_W1", "0"))
+        if w1_env > 0:
+            self._slab_W1 = min(w1_env, self._slab_W)
+        else:
+            self._slab_W1 = self._slab_W // 2
         self._jit_step = jax.jit(
             partial(
                 pipeline_step, cfg, batch_cols=self._batch_B,
-                slab_cols=self._slab_W,
+                slab_cols=self._slab_W, slab_head=self._slab_W1,
             ),
             donate_argnums=(0,),
         )
         self._jit_block_step = jax.jit(
             partial(
                 pipeline_step_block, cfg, batch_cols=self._batch_B,
-                slab_cols=self._slab_W,
+                slab_cols=self._slab_W, slab_head=self._slab_W1,
             ),
             donate_argnums=(0,),
         )
@@ -202,13 +225,68 @@ class ContinuousClustering:
             )
             return pipeline_step_block(
                 cfg, state, block, seg, hsg,
-                batch_cols=B, slab_cols=self._slab_W,
+                batch_cols=B, slab_cols=self._slab_W, slab_head=self._slab_W1,
             )
 
         self._jit_block_step_packed = jax.jit(
             _packed_block_step, donate_argnums=(0,)
         )
+
+        # fully merged staging: fields + seg poses + scalars in ONE buffer =
+        # ONE host->device transfer per batch (ops/ingest.py split_merged);
+        # needs R >= 15 rows to carry the (B, 15) pose matrix in one plane
+        R = self._num_rows
+        self._merged_buf = None
+        if R is not None and R >= 15 and B >= 8:
+            def _merged_block_step(state, buf, hsg):
+                from ..ops.ingest import split_merged, unpack_block
+
+                fields, scalars, segp = split_merged(buf)
+                block = unpack_block(fields, scalars)
+                seg = SegPoses(
+                    sensor_pos=segp[:, 0:3],
+                    ego_rot=segp[:, 3:12].reshape(B, 3, 3),
+                    ego_trans=segp[:, 12:15],
+                )
+                return pipeline_step_block(
+                    cfg, state, block, seg, hsg,
+                    batch_cols=B, slab_cols=self._slab_W,
+                    slab_head=self._slab_W1,
+                )
+
+            self._jit_block_step_merged = jax.jit(
+                _merged_block_step, donate_argnums=(0,)
+            )
+        else:
+            self._jit_block_step_merged = None
         self._hsg_dev = None  # cached device scalar (invalidated on config/tf)
+
+    def _merged_block(self, first: int, end: int, reset: bool):
+        """Build the single-transfer staging buffer for columns
+        [first, first + B): fields planes + seg-pose plane + scalars plane.
+        Returns (buffer, n_cols)."""
+        from ..ops.ingest import (N_BLOCK_FIELDS, N_BLOCK_SCALARS,
+                                  N_MERGED_PLANES)
+
+        B, R = self._batch_B, self._num_rows
+        # ring of staging buffers: jnp.asarray may alias (zero-copy) or
+        # lazily consume the numpy buffer while the dispatch is in flight;
+        # with at most 2 outstanding steps (async double buffering) a
+        # 3-buffer ring guarantees no in-flight buffer is overwritten
+        if self._merged_buf is None:
+            self._merged_buf = [
+                np.zeros((N_MERGED_PLANES, R, B), np.int32) for _ in range(3)
+            ]
+            self._merged_idx = 0
+        buf = self._merged_buf[self._merged_idx]
+        self._merged_idx = (self._merged_idx + 1) % 3
+        fields, scalars, trig = self._host_ins.fetch_block_packed(
+            first, end, B, self._h_origin_rot, reset, out=buf
+        )
+        segp = self._seg_poses_packed(trig)  # (B, 15) f32
+        buf[N_BLOCK_FIELDS, :15, :].view(np.float32)[...] = segp.T
+        buf[N_BLOCK_FIELDS + 1, 0, :N_BLOCK_SCALARS] = scalars
+        return buf, int(scalars[1])
 
     def add_firing(self, firing: Dict[str, np.ndarray], odom_from_sensor: np.ndarray) -> None:
         if self._num_rows is None:
@@ -243,14 +321,21 @@ class ContinuousClustering:
                 fu_before = self._h_first_unpublished
                 if self._host_ins is not None:
                     fu = self._h_first_unfinished
-                    fields, scalars, trig = self._host_ins.fetch_block_packed(
-                        fu, fu, self._batch_B, self._h_origin_rot, False
-                    )
-                    self._state, info = self._jit_block_step_packed(
-                        self._state, jnp.asarray(fields),
-                        jnp.asarray(scalars),
-                        jnp.asarray(self._seg_poses_packed(trig)), self._hsg(),
-                    )
+                    if self._jit_block_step_merged is not None:
+                        buf, _ = self._merged_block(fu, fu, False)
+                        self._state, info = self._jit_block_step_merged(
+                            self._state, jnp.asarray(buf), self._hsg()
+                        )
+                    else:
+                        fields, scalars, trig = self._host_ins.fetch_block_packed(
+                            fu, fu, self._batch_B, self._h_origin_rot, False
+                        )
+                        self._state, info = self._jit_block_step_packed(
+                            self._state, jnp.asarray(fields),
+                            jnp.asarray(scalars),
+                            jnp.asarray(self._seg_poses_packed(trig)),
+                            self._hsg(),
+                        )
                     self._consume_info(info)
                 else:
                     self._run_step(self._empty_batch(), self._make_calib())
@@ -363,15 +448,21 @@ class ContinuousClustering:
             return
         hsg = self._hsg()
         while True:
-            fields, scalars, trig = ins.fetch_block_packed(
-                first, end, self._batch_B, self._h_origin_rot, reset
-            )
-            n = int(scalars[1])
-            segp = self._seg_poses_packed(trig)
-            self._state, info = self._jit_block_step_packed(
-                self._state, jnp.asarray(fields), jnp.asarray(scalars),
-                jnp.asarray(segp), hsg,
-            )
+            if self._jit_block_step_merged is not None:
+                buf, n = self._merged_block(first, end, reset)
+                self._state, info = self._jit_block_step_merged(
+                    self._state, jnp.asarray(buf), hsg
+                )
+            else:
+                fields, scalars, trig = ins.fetch_block_packed(
+                    first, end, self._batch_B, self._h_origin_rot, reset
+                )
+                n = int(scalars[1])
+                segp = self._seg_poses_packed(trig)
+                self._state, info = self._jit_block_step_packed(
+                    self._state, jnp.asarray(fields), jnp.asarray(scalars),
+                    jnp.asarray(segp), hsg,
+                )
             if self._config.general.is_single_threaded:
                 self._consume_info(info)
             else:
@@ -447,10 +538,17 @@ class ContinuousClustering:
             self._consume_info(self._pending_infos.pop(0))
 
     def _consume_info(self, info) -> int:
-        if bool(info.reset_required):
+        from .step import (META_CC_FAILED, META_COUNTER_OLD, META_FU_NEW,
+                           META_FU_OLD, META_GCOL0, META_NCOLS, META_NUM_NEW,
+                           META_OVERFLOW, META_RESET, N_META)
+
+        # ONE device->host transfer for all per-step scalars (through a
+        # remote link each int(...) conversion pays a round trip)
+        m = np.asarray(info.meta)
+        if bool(m[META_RESET]):
             self._reset_required = True
             return 0
-        if bool(info.cc_failed):
+        if bool(m[META_CC_FAILED]):
             raise RuntimeError(
                 "Connected-components labeling did not converge within the "
                 "64-round cap (labels still changing). This is a correctness "
@@ -458,7 +556,7 @@ class ContinuousClustering:
                 "pointer jumps (CCT_CC_JUMP/CCT_CC_JUMP_AFTER) — slowing the "
                 "input stream cannot help."
             )
-        if bool(info.overflow):
+        if bool(m[META_OVERFLOW]):
             raise RuntimeError(
                 "Ring buffer overflow: a column was not cleared before reuse. "
                 "The clustering cannot keep up with the input rate; slow down "
@@ -466,16 +564,16 @@ class ContinuousClustering:
                 "way, src/clustering/continuous_clustering.cpp:337-344)."
             )
 
-        n_cols = int(info.n_cols)
+        n_cols = int(m[META_NCOLS])
         self._last_ncols = n_cols
-        gcol0 = int(info.gcol0)
-        fu_old, fu_new = int(info.fu_old), int(info.fu_new)
+        gcol0 = int(m[META_GCOL0])
+        fu_old, fu_new = int(m[META_FU_OLD]), int(m[META_FU_NEW])
         if n_cols == 0 and fu_new == fu_old:
             return 0
         if n_cols > 0:
             self._h_first_unfinished = gcol0 + n_cols
-        counter_old = int(info.cluster_counter_old)
-        num_new = int(info.num_new_clusters)
+        counter_old = int(m[META_COUNTER_OLD])
+        num_new = int(m[META_NUM_NEW])
         self._h_cluster_counter = counter_old + num_new
         self._h_first_unpublished = fu_new
 
@@ -485,8 +583,17 @@ class ContinuousClustering:
         if self._slab_W and fu_old >= 0:
             hi = gcol0 + n_cols if n_cols > 0 else fu_new
             hi = max(hi, fu_new)
-            self._slab = (fu_old, min(fu_old + self._slab_W, hi), info.slab)
+            # the (2, K) component-slot join tables rode the meta transfer
+            # (snapshot taken by the same step that produced the slab)
+            tabs = (
+                m[N_META:].reshape(2, -1) if m.shape[0] > N_META else None
+            )
+            self._slab = (
+                fu_old, min(fu_old + self._slab_W, hi), info.slab,
+                info.slab_ext, tabs,
+            )
             self._slab_np = None
+            self._cloud_cache = None
 
         if n_cols > 0 and self.finished_column_callback:
             self.finished_column_callback(gcol0, gcol0 + n_cols - 1, True)
@@ -496,6 +603,23 @@ class ContinuousClustering:
             )
         if fu_new > fu_old and self.finished_column_callback:
             self.finished_column_callback(fu_old, fu_new - 1, False)
+        if self._publish_trace is not None:
+            # bench/diagnostic capture: the step's REAL publish window,
+            # counter range and materialized slab (bench.py replays these to
+            # measure the per-revolution host publish cost; also the data
+            # source for slab-head sizing)
+            hi_emit = max(gcol0 + n_cols, fu_new)
+            slab_np = slab_lo = tabs = None
+            if hi_emit > fu_old >= 0:
+                got = self._fetch_slab(fu_old, hi_emit - fu_old)
+                if got is not None:
+                    slab_np, off, tabs = got
+                    slab_lo = fu_old - off
+            self._publish_trace.append(dict(
+                gcol0=gcol0, n_cols=n_cols, fu_old=fu_old, fu_new=fu_new,
+                counter_old=counter_old, counter_new=counter_old + num_new,
+                slab_np=slab_np, slab_lo=slab_lo, tabs=tabs,
+            ))
         return n_cols
 
     def _emit_clusters(
@@ -506,13 +630,18 @@ class ContinuousClustering:
         if native_readout.available():
             got = self._fetch_slab(from_gcol, to_gcol - from_gcol)
             if got is not None:
-                slab, off = got
-                groups = native_readout.emit_clusters(
-                    slab, off, to_gcol - from_gcol, from_gcol,
+                slab, off, tabs = got
+                groups, full = native_readout.emit_clusters(
+                    slab, tabs, off, to_gcol - from_gcol, from_gcol,
                     self._state.ring_cols,
                     TWO_PI * self._h_origin_rot, counter_old, counter_new,
                     self._config.clustering.use_last_point_for_cluster_stamp,
                 )
+                if full is not None:
+                    # dense selection assembled the whole window: cache it
+                    # so the column callback's get_columns over the same
+                    # window becomes a slice
+                    self._cloud_cache = (from_gcol, to_gcol, full)
                 for group, stamp in groups:
                     self.finished_cluster_callback(group, stamp)
                 return
@@ -553,6 +682,7 @@ class ContinuousClustering:
             self._drain_pending()
             self._slab = None
             self._slab_np = None
+            self._cloud_cache = None
             rot = self._h_first_unpublished // self._config.range_image.num_columns
             delta = rot - self._h_origin_rot
             self._state, _ = rebase_azimuth(self._state, delta)
@@ -565,20 +695,29 @@ class ContinuousClustering:
 
         Fast path: the requested range is covered by the publish slab that
         rode the last consumed step's outputs — served with ZERO extra
-        dispatches (at most one transfer, on first touch).  Otherwise one
-        jitted dispatch + one transfer; widths are bucketed to powers of two
-        so at most ~log2(ring) programs compile.  Returns ``None`` when the
-        range exceeds the ring (legacy modular-gather path)."""
+        dispatches (at most one transfer, on first touch; only the narrow
+        HEAD piece is transferred unless the window extends past it).
+        Otherwise one jitted dispatch + one transfer; widths are bucketed to
+        powers of two so at most ~log2(ring) programs compile.  Returns
+        ``None`` when the range exceeds the ring (legacy modular-gather
+        path)."""
         import jax
 
         from ..ops.readout import packed_readout
 
         if self._slab is not None:
-            lo, hi, dev = self._slab
-            if from_gcol >= lo and from_gcol + n <= hi:
-                if self._slab_np is None:
-                    self._slab_np = np.asarray(dev)
-                return self._slab_np, from_gcol - lo
+            lo, hi, head, tail, tabs = self._slab
+            if tabs is not None and from_gcol >= lo and from_gcol + n <= hi:
+                need = from_gcol - lo + n
+                w1 = head.shape[2]
+                if self._slab_np is None or self._slab_np.shape[2] < need:
+                    if need <= w1:
+                        self._slab_np = np.asarray(head)
+                    else:
+                        self._slab_np = np.concatenate(
+                            [np.asarray(head), np.asarray(tail)], axis=2
+                        )
+                return self._slab_np, from_gcol - lo, tabs
 
         rc = self._state.ring_cols
         bucket = max(8, 1 << max(0, n - 1).bit_length())
@@ -586,38 +725,55 @@ class ContinuousClustering:
         if bucket < n:  # range exceeds the ring
             return None
 
+        with_nbr = bool(self._config.clustering.record_neighbor_stats)
         fn = self._fetch_cache.get(bucket)
         if fn is None:
-            fn = jax.jit(lambda state, lc0: packed_readout(state, lc0, bucket))
+            fn = jax.jit(
+                lambda state, lc0: packed_readout(state, lc0, bucket, with_nbr)
+            )
             self._fetch_cache[bucket] = fn
 
         self.n_fetch_dispatches += 1
         slab = np.asarray(fn(self._state, jnp.asarray(from_gcol % rc, jnp.int32)))
-        return slab, 0
+        # on-demand join tables from the CURRENT state (valid for any cell
+        # still in the ring: slots are freed only after their cells clear)
+        parent = np.asarray(self._state.slot_parent)
+        tabs = np.stack([
+            np.asarray(self._state.slot_cid)[parent],
+            np.asarray(self._state.slot_rep)[parent],
+        ])
+        return slab, 0, tabs
 
     def _fetch_packed(self, from_gcol: int, n: int):
         """Per-field dict of all readout fields for ``n`` columns (the NumPy
         ``get_columns`` path consumes this; the native path reads the slab
         directly via ``_fetch_slab``)."""
-        from ..ops.readout import FETCH_ORDER, unpack_slab
+        from ..ops.readout import unpack_slab
 
         got = self._fetch_slab(from_gcol, n)
         if got is not None:
-            return unpack_slab(got[0], got[1], n)
+            return unpack_slab(got[0], got[1], n, from_gcol, got[2])
 
         rc = self._state.ring_cols
         lcols = jnp.asarray((from_gcol + np.arange(n)) % rc, jnp.int32)
+        fields = ("x", "y", "z", "distance", "azimuth", "inclination",
+                  "cont_az", "finish_az", "stamp_lo", "stamp_hi", "uidx_lo",
+                  "uidx_hi", "gcol", "firing_index", "intensity",
+                  "ground_label", "debug_label", "nbr_stats")
         out = {
             f: np.asarray(getattr(self._state, f)[:, lcols])
-            for f in FETCH_ORDER
+            for f in fields
         }
-        out["is_ignored"] = out["is_ignored"].astype(np.int32)
+        out["is_ignored"] = np.asarray(
+            self._state.is_ignored[:, lcols]
+        ).astype(np.int32)
         sp = np.asarray(self._state.slot_parent)
         cid = np.asarray(self._state.slot_cid)
         rep = np.asarray(self._state.slot_rep)
-        slots = out["slot"]
+        slots = np.asarray(self._state.slot[:, lcols])
         res = sp[np.maximum(slots, 0)]
         has = slots >= 0
+        out["slot"] = slots
         out["cell_cid"] = np.where(has, cid[res], 0)
         out["cell_rep"] = np.where(has, rep[res], -1)
         return out
@@ -660,12 +816,20 @@ class ContinuousClustering:
             from ..io import native_readout
 
             if native_readout.available():
+                # the cluster-emit path usually assembled an overlapping
+                # window of the same slab moments ago (records are contiguous
+                # column-major, so a sub-range is a zero-copy slice)
+                cc = self._cloud_cache
+                if cc is not None and cc[0] <= from_gcol and to_gcol < cc[1]:
+                    return cc[2][(from_gcol - cc[0]) * R:(to_gcol + 1 - cc[0]) * R]
                 got = self._fetch_slab(from_gcol, n)
                 if got is not None:
-                    return native_readout.assemble_cloud(
-                        got[0], got[1], n, from_gcol, rc,
+                    cloud = native_readout.assemble_cloud(
+                        got[0], got[2], got[1], n, from_gcol, rc,
                         TWO_PI * self._h_origin_rot,
                     )
+                    self._cloud_cache = (from_gcol, to_gcol + 1, cloud)
+                    return cloud
 
         fetched = self._fetch_packed(from_gcol, n)
 

@@ -112,14 +112,18 @@ class HostInsertion:
         return bufs, stamp, uidxv, inten, pose_idx
 
     def fetch_block_packed(
-        self, first: int, end: int, B: int, origin_rot: int, reset: bool
+        self, first: int, end: int, B: int, origin_rot: int, reset: bool,
+        out: np.ndarray = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fetch columns [first, min(end, first+B)) as packed staging buffers
         (fields (N_BLOCK_FIELDS, R, B) i32, scalars (N_BLOCK_SCALARS,) i32)
         plus the per-column trigger pose array (n, 3, 4).
 
         The packed form stages to device in TWO transfers total; the jitted
-        step rebuilds the ColumnBlock via ``ops.ingest.unpack_block``."""
+        step rebuilds the ColumnBlock via ``ops.ingest.unpack_block``.
+        ``out`` optionally supplies the fields buffer (>= N_BLOCK_FIELDS
+        leading planes of an (_, R, B) i32 array) so callers building the
+        fully merged single-transfer buffer avoid a copy."""
         from ..ops.ingest import N_BLOCK_FIELDS, N_BLOCK_SCALARS
 
         R = self.R
@@ -127,7 +131,12 @@ class HostInsertion:
         bufs, stamp, uidxv, inten, pose_idx = self._fetch_columns_np(
             first, n, B, origin_rot
         )
-        fields = np.empty((N_BLOCK_FIELDS, R, B), np.int32)
+        if out is not None:
+            fields = out[:N_BLOCK_FIELDS]
+            assert fields.shape == (N_BLOCK_FIELDS, R, B)
+            assert fields.dtype == np.int32
+        else:
+            fields = np.empty((N_BLOCK_FIELDS, R, B), np.int32)
         for i, k in enumerate(("x", "y", "z", "dist", "az", "inc", "caz_rel")):
             fields[i] = bufs[k].view(np.int32).T
         fields[7] = (stamp & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).T

@@ -5,6 +5,14 @@ batch plus the ego calibration; everything else (finished-column range,
 per-column trigger poses, frontier bookkeeping) is derived on device so the
 streaming hot path costs a single dispatch and a single scalar readback.
 
+The step's scalar results are PACKED into one (9,) i32 vector
+(``StepInfo.meta``): through a remote device link every host-side
+``int(...)`` conversion pays a full round trip, so fetching nine scalars
+individually cost up to nine round trips per consumed batch.  One vector =
+one transfer.  Named access stays available via NamedTuple properties
+(``info.n_cols`` etc.), which index the last axis so they also work on
+scan-stacked infos.
+
 This is the "flagship model forward step" exposed via ``__graft_entry__``.
 """
 
@@ -22,25 +30,79 @@ from ..ops.ground_segmentation import SegmentInputs, ground_segment_columns
 from ..ops.insertion import FiringBatch, insert_firings
 from ..ops.state import RingState
 
+# meta vector lanes
+(META_GCOL0, META_NCOLS, META_FU_OLD, META_FU_NEW, META_NUM_NEW,
+ META_COUNTER_OLD, META_RESET, META_OVERFLOW, META_CC_FAILED) = range(9)
+N_META = 9
+
 
 class StepInfo(NamedTuple):
-    gcol0: jax.Array        # () i32 first column segmented this step
-    n_cols: jax.Array       # () i32 number segmented
-    fu_old: jax.Array       # () i32 publish frontier before completion
-    fu_new: jax.Array       # () i32 publish frontier after
-    num_new_clusters: jax.Array  # () i32
-    cluster_counter_old: jax.Array  # () i32
-    reset_required: jax.Array    # () bool
-    overflow: jax.Array          # () bool
-    cc_failed: jax.Array         # () bool: CC fixpoint hit the round cap
+    # packed per-step scalars, ONE (N_META,) i32 vector (see module docstring)
+    meta: jax.Array
     # publish slab: packed per-cell readout of columns [fu_old, fu_old + W)
-    # (W = the static ``slab_cols``; (N_SLAB_ROWS, R, W) i32, zero-size when
+    # (W = the static ``slab_cols``; (n_slab_rows, R, W) i32, zero-size when
     # disabled).  Riding the readout on the step outputs makes steady-state
     # emission cost ZERO extra dispatches — the host serves get_columns from
     # this array instead of launching a separate fetch program (the
     # reference's publish thread re-reads the range image the same way,
     # src/ros/ros_utils.cpp:34-77, but a dispatch there is a function call).
-    slab: jax.Array
+    # The window is SPLIT in two step outputs — a narrow head covering the
+    # typical publish window and the remaining tail — so the per-step
+    # transfer pays only the head's bytes unless the frontier lags far
+    # (the publish transfer is the dominant measured latency term on any
+    # link; LATENCY_r3.json).
+    slab: jax.Array       # head: columns [fu_old, fu_old + head_cols)
+    slab_ext: jax.Array   # tail: columns [fu_old + head_cols, fu_old + W)
+
+    @property
+    def gcol0(self):
+        return self.meta[..., META_GCOL0]
+
+    @property
+    def n_cols(self):
+        return self.meta[..., META_NCOLS]
+
+    @property
+    def fu_old(self):
+        return self.meta[..., META_FU_OLD]
+
+    @property
+    def fu_new(self):
+        return self.meta[..., META_FU_NEW]
+
+    @property
+    def num_new_clusters(self):
+        return self.meta[..., META_NUM_NEW]
+
+    @property
+    def cluster_counter_old(self):
+        return self.meta[..., META_COUNTER_OLD]
+
+    @property
+    def reset_required(self):
+        return self.meta[..., META_RESET]
+
+    @property
+    def overflow(self):
+        return self.meta[..., META_OVERFLOW]
+
+    @property
+    def cc_failed(self):
+        return self.meta[..., META_CC_FAILED]
+
+
+def pack_meta(gcol0, n_cols, fu_old, fu_new, num_new, counter_old,
+              reset_required, overflow, cc_failed,
+              join_tabs=None) -> jax.Array:
+    """Pack the step scalars (lanes 0..8) and, when the publish slab is on,
+    the flattened (2, K) component-slot join tables (ops/readout.py
+    join_tables) into one i32 vector = one device->host transfer."""
+    vals = [gcol0, n_cols, fu_old, fu_new, num_new, counter_old,
+            reset_required, overflow, cc_failed]
+    head = jnp.stack([jnp.asarray(v).astype(jnp.int32) for v in vals])
+    if join_tabs is None:
+        return head
+    return jnp.concatenate([head, join_tabs.reshape(-1)])
 
 
 class EgoCalibration(NamedTuple):
@@ -58,14 +120,23 @@ class SegPoses(NamedTuple):
     ego_trans: jax.Array   # (B, 3) f32
 
 
-def _publish_slab(state: RingState, fu_old, slab_cols: int) -> jax.Array:
-    """Packed readout of the publish window [fu_old, fu_old + slab_cols)."""
-    from ..ops.readout import N_SLAB_ROWS, packed_readout
+def _publish_slab(config: Config, state: RingState, fu_old, slab_cols: int,
+                  head_cols: int = 0):
+    """Packed readout of the publish window [fu_old, fu_old + slab_cols),
+    split into (head, tail) at ``head_cols`` (0 or >= slab_cols: whole
+    window in the head, zero-width tail)."""
+    from ..ops.readout import packed_readout, slab_rows
 
+    with_nbr = bool(config.clustering.record_neighbor_stats)
+    n_rows = slab_rows(with_nbr)
     if not slab_cols:
-        return jnp.zeros((N_SLAB_ROWS, state.num_rows, 0), jnp.int32)
+        z = jnp.zeros((n_rows, state.num_rows, 0), jnp.int32)
+        return z, z
     lc0 = jnp.maximum(fu_old, 0) % state.ring_cols
-    return packed_readout(state, lc0, slab_cols)
+    full = packed_readout(state, lc0, slab_cols, with_nbr)
+    if head_cols <= 0 or head_cols >= slab_cols:
+        return full, jnp.zeros((n_rows, state.num_rows, 0), jnp.int32)
+    return full[:, :, :head_cols], full[:, :, head_cols:]
 
 
 def pipeline_step_block(
@@ -77,6 +148,7 @@ def pipeline_step_block(
     batch_cols: int,
     profile_cut: str = "",
     slab_cols: int = 0,
+    slab_head: int = 0,
 ):
     """Host-insertion variant: ingest a dense finished-column block, then
     segmentation + association + completion (no insertion scan).
@@ -89,13 +161,14 @@ def pipeline_step_block(
 
     def _cut_info(s):
         zero = jnp.asarray(0, jnp.int32)
+        slab, slab_ext = _publish_slab(config, s, s.first_unpublished, 0)
         return s, StepInfo(
-            gcol0=block.gcol0, n_cols=block.n_cols,
-            fu_old=s.first_unpublished, fu_new=s.first_unpublished,
-            num_new_clusters=zero, cluster_counter_old=s.cluster_counter,
-            reset_required=s.reset_required, overflow=s.overflow,
-            cc_failed=s.cc_failed,
-            slab=_publish_slab(s, s.first_unpublished, 0),
+            meta=pack_meta(
+                block.gcol0, block.n_cols, s.first_unpublished,
+                s.first_unpublished, zero, s.cluster_counter,
+                s.reset_required, s.overflow, s.cc_failed,
+            ),
+            slab=slab, slab_ext=slab_ext,
         )
 
     if profile_cut == "null":
@@ -127,17 +200,17 @@ def pipeline_step_block(
         profile_cut=profile_cut,
     )
     state = cres.state
+    slab, slab_ext = _publish_slab(config, state, cres.fu_old, slab_cols, slab_head)
+    from ..ops.readout import join_tables
+
     info = StepInfo(
-        gcol0=block.gcol0,
-        n_cols=block.n_cols,
-        fu_old=cres.fu_old,
-        fu_new=cres.fu_new,
-        num_new_clusters=cres.num_new_clusters,
-        cluster_counter_old=counter_old,
-        reset_required=state.reset_required,
-        overflow=state.overflow,
-        cc_failed=state.cc_failed,
-        slab=_publish_slab(state, cres.fu_old, slab_cols),
+        meta=pack_meta(
+            block.gcol0, block.n_cols, cres.fu_old, cres.fu_new,
+            cres.num_new_clusters, counter_old,
+            state.reset_required, state.overflow, state.cc_failed,
+            join_tabs=join_tables(state) if slab_cols else None,
+        ),
+        slab=slab, slab_ext=slab_ext,
     )
     return state, info
 
@@ -149,6 +222,7 @@ def pipeline_step(
     ego: EgoCalibration,
     batch_cols: int,
     slab_cols: int = 0,
+    slab_head: int = 0,
 ):
     """Process one firing batch end-to-end on device.
 
@@ -209,16 +283,16 @@ def pipeline_step(
     counter_old = state.cluster_counter
     state = cres.state
 
+    slab, slab_ext = _publish_slab(config, state, cres.fu_old, slab_cols, slab_head)
+    from ..ops.readout import join_tables
+
     info = StepInfo(
-        gcol0=gcol0,
-        n_cols=n_cols,
-        fu_old=cres.fu_old,
-        fu_new=cres.fu_new,
-        num_new_clusters=cres.num_new_clusters,
-        cluster_counter_old=counter_old,
-        reset_required=state.reset_required,
-        overflow=state.overflow,
-        cc_failed=state.cc_failed,
-        slab=_publish_slab(state, cres.fu_old, slab_cols),
+        meta=pack_meta(
+            gcol0, n_cols, cres.fu_old, cres.fu_new,
+            cres.num_new_clusters, counter_old,
+            state.reset_required, state.overflow, state.cc_failed,
+            join_tabs=join_tables(state) if slab_cols else None,
+        ),
+        slab=slab, slab_ext=slab_ext,
     )
     return state, info

@@ -44,16 +44,22 @@ def stack_batches(batches) -> FiringBatch:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
-def make_block_scan_runner(config: Config, batch_cols: int, profile_cut: str = ""):
+def make_block_scan_runner(config: Config, batch_cols: int, profile_cut: str = "",
+                           slab_cols: int = 0, slab_head: int = 0):
     """Scan runner over host-inserted dense column blocks (+ seg poses):
-    the insertion scan disappears from the device program entirely."""
+    the insertion scan disappears from the device program entirely.
+
+    ``slab_cols``/``slab_head`` optionally include the publish-slab readout
+    in the scanned step (what the streaming path pays every step); the
+    default 0 measures the pure compute rate."""
     from .step import pipeline_step_block
 
     def run(state: RingState, blocks, seg_poses, hsg):
         def body(s, xs):
             b, sp = xs
             s2, info = pipeline_step_block(
-                config, s, b, sp, hsg, batch_cols, profile_cut=profile_cut
+                config, s, b, sp, hsg, batch_cols, profile_cut=profile_cut,
+                slab_cols=slab_cols, slab_head=slab_head,
             )
             return s2, info
 

@@ -89,13 +89,17 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.cct_readout_record_size.restype = c.c_int64
     lib.cct_readout_record_size.argtypes = []
+    if hasattr(lib, "cct_readout_layout_version"):
+        lib.cct_readout_layout_version.restype = c.c_int64
+        lib.cct_readout_layout_version.argtypes = []
     lib.cct_assemble_cloud.argtypes = [
-        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
-        c.c_int64, c.c_int64, c.c_double, c.c_void_p,
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p, c.c_int64,
+        c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_double, c.c_void_p,
     ]
     lib.cct_emit_clusters.restype = c.c_int64
     lib.cct_emit_clusters.argtypes = [
-        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
-        c.c_int64, c.c_int64, c.c_double, c.c_int64, c.c_int64, c.c_int,
-        c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p, c.c_int64,
+        c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_double, c.c_int64,
+        c.c_int64, c.c_int, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.POINTER(c.c_int32),
     ]

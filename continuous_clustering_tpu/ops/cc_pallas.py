@@ -150,12 +150,16 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
                  n_sweeps: int = None):
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
-    With jumps deferred past the first rounds (CCT_CC_JUMP_AFTER), more
-    sweeps per launch won: typical batches converge inside one 3-sweep
-    launch with zero pointer-jump gathers (round-3 battery: 3 sweeps
-    4.96M pts/s vs 1 sweep + per-round jumps 4.43M)."""
+
+    Default 1 sweep per launch with immediate pointer jumps: the round-4
+    battery (after the CCT_CC_JUMP=0 clamp fix invalidated the round-3
+    jump-free readings) measured s=1,j=2 as the min-maximizer across all
+    three bench scenes — clutter 5.54M / near-field 5.79M / standard 6.28M
+    pts/s vs the round-3 default's (s=3, jump_after=2) 5.00 / 5.32 / 6.43:
+    scenes with many components need many diffusion rounds, where early
+    chain compression beats extra in-place sweeps."""
     if n_sweeps is None:
-        n_sweeps = int(os.environ.get("CCT_SWEEPS", "3"))
+        n_sweeps = int(os.environ.get("CCT_SWEEPS", "1"))
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
     R, WCOL = L.shape
@@ -207,13 +211,13 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     # jump strength: number of f = f[f] applications per unconverged round.
     # Each application is a window-scale gather (~as expensive as a sweep
     # launch in-context), but compresses label chains geometrically.
-    # Jumps are DEFERRED (CCT_CC_JUMP_AFTER rounds, default 2): typical
-    # scenes converge in 1-3 sweep launches and never pay a jump — the
-    # TPU experiment battery measured jump-free convergence at 5.0M pts/s
-    # vs 4.4M with per-round jumps — while snake-shaped components still
-    # get geometric chain compression before the 64-round cap.
+    # Round-4 defaults: jumps from the FIRST unconverged round
+    # (CCT_CC_JUMP_AFTER=0) with 2 applications — the scene battery showed
+    # deferred/jump-free settings losing 10% on the clutter and near-field
+    # scenes (many components => many rounds => compression pays), while
+    # the standard scene is within noise (see sweep_pallas docstring).
     n_jump = int(os.environ.get("CCT_CC_JUMP", "2"))
-    jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "2"))
+    jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "0"))
 
     def jump(L):
         from .association import _jump_take

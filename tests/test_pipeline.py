@@ -506,21 +506,18 @@ def test_cc_nonconvergence_raises_distinct_error():
 
     pipe = ContinuousClustering(small_config(), firing_batch_size=16)
     pipe.reset(4)
-    info_fields = dict(
-        gcol0=jnp.asarray(0), n_cols=jnp.asarray(1),
-        fu_old=jnp.asarray(0), fu_new=jnp.asarray(1),
-        num_new_clusters=jnp.asarray(0), cluster_counter_old=jnp.asarray(1),
-        reset_required=jnp.asarray(False), slab=jnp.zeros((0,), jnp.int32),
-    )
-    from continuous_clustering_tpu.models.step import StepInfo
+    from continuous_clustering_tpu.models.step import StepInfo, pack_meta
+
+    def make_info(overflow, cc_failed):
+        z = jnp.zeros((0,), jnp.int32)
+        return StepInfo(
+            meta=pack_meta(
+                0, 1, 0, 1, 0, 1, False, overflow, cc_failed
+            ),
+            slab=z, slab_ext=z,
+        )
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        pipe._consume_info(StepInfo(
-            overflow=jnp.asarray(False), cc_failed=jnp.asarray(True),
-            **info_fields,
-        ))
+        pipe._consume_info(make_info(overflow=False, cc_failed=True))
     with pytest.raises(RuntimeError, match="overflow"):
-        pipe._consume_info(StepInfo(
-            overflow=jnp.asarray(True), cc_failed=jnp.asarray(False),
-            **info_fields,
-        ))
+        pipe._consume_info(make_info(overflow=True, cc_failed=False))
