@@ -44,14 +44,117 @@ def stack_batches(batches) -> FiringBatch:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
+# one revolution is exactly 2*pi of continuous azimuth; f32 literal so the
+# periodic runner's k*TWO_PI offset matches the host engine's unwrap step
+_TWO_PI = 6.2831853071795864769
+
+
+def make_periodic_block_scan_runner(config: Config, batch_cols: int,
+                                    num_cols: int, n_steps: int,
+                                    slab_cols: int = 0, slab_head: int = 0,
+                                    reduce_infos: bool = True):
+    """Benchmark runner: scan ``n_steps`` pipeline steps over a PERIODIC
+    one-revolution block stack resident on device.
+
+    The throughput scenes feed the identical firing set every revolution, so
+    revolution 0's host-inserted blocks replayed with per-revolution offsets
+    — global columns (and the frontier scalars derived from them) advanced
+    by ``k * num_cols``, continuous azimuth by ``k * 2*pi`` — form a valid,
+    self-consistent stream carrying the production scene's geometry every
+    revolution.  (It is not bit-identical to really re-inserting the
+    firings: the host engine's f32 azimuth accumulation jitters column
+    boundaries by ±1 between revolutions.  The work profile is what a
+    throughput bench needs, and ``tests/test_throughput_runner.py`` pins
+    the semantic equivalence: steady per-revolution cluster production,
+    frontier advance, convergence.)  Applying the offsets inside the scan
+    body (elementwise on one block, ~negligible next to a pipeline step)
+    lets ONE dispatch execute an arbitrary number of revolutions with a
+    single device-resident revolution of data — no per-revolution
+    host->device staging and no per-revolution dispatch, so the measured
+    rate tracks the device, not the link (bench.py measures the
+    steady-state rate as the difference between two scan lengths,
+    cancelling the per-call fixed cost exactly).
+
+    The scanned step includes the publish-slab readout when
+    ``slab_cols``/``slab_head`` are set (what the streaming path pays every
+    step); per-step infos are reduced to one checksum so the slab is
+    produced but not stacked (see ``make_block_scan_runner`` reduce_infos).
+
+    Returns jit(state, blocks0, seg_poses0, hsg, k0) -> (state, checksums)
+    where ``blocks0``/``seg_poses0`` carry one revolution (per_rev leading
+    dim) and ``k0`` is the global step index the scan starts at (pass the
+    running total so consecutive calls continue one coherent stream).
+    Azimuth precision bounds the usable stream length: production rebases
+    the azimuth origin, this runner does not, so keep the total below ~300
+    revolutions (cont_az < ~2000 rad keeps the f32 error well under a
+    column spacing)."""
+    from .step import pipeline_step_block
+
+    def run(state: RingState, blocks0, seg_poses0, hsg, k0):
+        per_rev = jax.tree_util.tree_leaves(blocks0)[0].shape[0]
+
+        def body(s, i):
+            k = k0 + i
+            rev = k // per_rev
+            j = k % per_rev
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, j, 0, keepdims=False
+            )
+            b = jax.tree_util.tree_map(pick, blocks0)
+            sp = jax.tree_util.tree_map(pick, seg_poses0)
+            off = rev * num_cols
+            # column-index scalars shift by off; -1 sentinels stay put
+            shift = lambda v: jnp.where(v >= 0, v + off, v)
+            b = b._replace(
+                gcol0=b.gcol0 + off,
+                cont_az=b.cont_az
+                + rev.astype(jnp.float32) * jnp.float32(_TWO_PI),
+                prev_rearmost=shift(b.prev_rearmost),
+                prev_foremost=shift(b.prev_foremost),
+                first_unfinished=shift(b.first_unfinished),
+                # the frontier-init scalar is consumed once at stream start;
+                # replayed revolutions must not re-arm it
+                first_unpublished_init=jnp.where(
+                    rev == 0, b.first_unpublished_init, jnp.int32(-1)
+                ),
+            )
+            s2, info = pipeline_step_block(
+                config, s, b, sp, hsg, batch_cols,
+                slab_cols=slab_cols, slab_head=slab_head,
+            )
+            if reduce_infos:
+                chk = (
+                    jnp.sum(info.meta)
+                    + jnp.sum(info.slab)
+                    + jnp.sum(info.slab_ext)
+                )
+                return s2, chk
+            return s2, info
+
+        return jax.lax.scan(
+            body, state, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 def make_block_scan_runner(config: Config, batch_cols: int, profile_cut: str = "",
-                           slab_cols: int = 0, slab_head: int = 0):
+                           slab_cols: int = 0, slab_head: int = 0,
+                           reduce_infos: bool = False):
     """Scan runner over host-inserted dense column blocks (+ seg poses):
     the insertion scan disappears from the device program entirely.
 
     ``slab_cols``/``slab_head`` optionally include the publish-slab readout
     in the scanned step (what the streaming path pays every step); the
-    default 0 measures the pure compute rate."""
+    default 0 measures the pure compute rate.
+
+    ``reduce_infos`` replaces the stacked per-step ``StepInfo`` output with
+    one i32 checksum per step (sum of meta + slab planes, wrapping).  The
+    checksum consumes every info field so XLA cannot dead-code the slab
+    production, while the scan's stacked output stays (n_steps,) instead of
+    n_steps full slabs — this is what lets a long benchmark scan include the
+    publish readout the streaming path pays without materializing hundreds
+    of slab copies."""
     from .step import pipeline_step_block
 
     def run(state: RingState, blocks, seg_poses, hsg):
@@ -61,6 +164,13 @@ def make_block_scan_runner(config: Config, batch_cols: int, profile_cut: str = "
                 config, s, b, sp, hsg, batch_cols, profile_cut=profile_cut,
                 slab_cols=slab_cols, slab_head=slab_head,
             )
+            if reduce_infos:
+                chk = (
+                    jnp.sum(info.meta)
+                    + jnp.sum(info.slab)
+                    + jnp.sum(info.slab_ext)
+                )
+                return s2, chk
             return s2, info
 
         return jax.lax.scan(body, state, (blocks, seg_poses))

@@ -96,12 +96,172 @@ def make_bench_scene(num_rows=64, num_cols=2200):
     return firings, n_points
 
 
+def capture_revolution(pipe, firings, num_cols):
+    """ONE revolution of host-inserted blocks, stacked and device-resident:
+    the periodic block scan runner (models/throughput.py
+    make_periodic_block_scan_runner) replays it with exact per-revolution
+    offsets.  Returns (blocks0, seg_poses0, per_rev, hsg)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert pipe._host_ins is not None, "host insertion unavailable"
+    blocks, seg_poses = [], []
+    first, end, reset = pipe._host_ins.add_firings(
+        firings, [np.eye(4)] * len(firings)
+    )
+    while first < end:
+        blk, trig = pipe._host_ins.fetch_block(
+            first, end, pipe._batch_B, 0, reset
+        )
+        blocks.append(blk)
+        seg_poses.append(pipe._seg_poses(trig))
+        first += int(blk.n_cols)
+    pipe._host_ins.clear_before(end - num_cols)
+    if not blocks:
+        raise RuntimeError("no complete columns produced by host insertion")
+    stack = lambda xs: jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
+    hsg = jnp.asarray(np.float32(-1.7))
+    return stack(blocks), stack(seg_poses), len(blocks), hsg
+
+
+def measure_periodic_rate(cfg, pipe, scene, num_cols, n_points, N=8,
+                          pairs=3, slab_cols=0, slab_head=0,
+                          state=None, k0=0):
+    """Steady-state device rate via the one-dispatch periodic runner and
+    the 2N-vs-N scan-length DIFFERENCE, which cancels the per-call fixed
+    cost (dispatch serialization + final scalar fetch — link round trips
+    on a remote tunnel) exactly.  This replaced per-revolution dispatch
+    loops that (a) tracked tunnel health more than the device and (b) in
+    some scripts replayed already-consumed revolutions, whose steps
+    degenerate (frontier stuck, zero clusters) and understate the work —
+    the periodic runner always advances one coherent stream.
+
+    ``scene`` is capture_revolution's (blocks0, seg_poses0, per_rev, hsg).
+    Starts from a fresh device copy of ``pipe.state`` unless (state, k0)
+    continue a previous call's stream.  Returns a result dict including
+    the advanced ``state``/``k0``."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from continuous_clustering_tpu.models.throughput import (
+        make_periodic_block_scan_runner,
+    )
+
+    blocks0, segp0, per_rev, hsg = scene
+    if state is None:
+        state = jax.tree_util.tree_map(
+            jnp.asarray, jax.tree_util.tree_map(np.asarray, pipe.state)
+        )
+    mk = lambda n: make_periodic_block_scan_runner(
+        cfg, pipe._batch_B, num_cols, n * per_rev,
+        slab_cols=slab_cols, slab_head=slab_head,
+    )
+    r1, r2 = mk(N), mk(2 * N)
+
+    def call(r, n_steps):
+        nonlocal state, k0
+        t0 = time.perf_counter()
+        state, _ = r(state, blocks0, segp0, hsg, jnp.int32(k0))
+        int(np.asarray(state.first_unpublished))
+        dt = time.perf_counter() - t0
+        k0 += n_steps
+        return dt
+
+    call(r1, N * per_rev)  # compile + allocation warm (both programs)
+    call(r2, 2 * N * per_rev)
+    t1s, t2s = [], []
+    for _ in range(pairs):
+        t1s.append(call(r1, N * per_rev))
+        t2s.append(call(r2, 2 * N * per_rev))
+    diff = sum(t2s) - sum(t1s)
+    raw = pairs * 2 * N * n_points / sum(t2s)
+    diff_ok = 0.25 * sum(t2s) < diff < 0.75 * sum(t2s)
+    rate = (pairs * N * n_points / diff) if diff_ok else raw
+    # per-call fixed cost (dispatch + fetch): E[T_N] = F + N*t_rev
+    fixed_s = max(0.0, (2 * sum(t1s) - sum(t2s)) / pairs)
+    return {
+        "pts_per_s": round(rate),
+        "raw_2n_pts_per_s": round(raw),
+        "diff_ok": diff_ok,
+        "fixed_call_s": fixed_s,
+        "ms_per_rev": round(n_points / rate * 1000.0, 2),
+        "t1s_ms": [round(t * 1000, 1) for t in t1s],
+        "t2s_ms": [round(t * 1000, 1) for t in t2s],
+        "overflow": bool(np.asarray(state.overflow)),
+        "cc_failed": bool(np.asarray(state.cc_failed)),
+        "runner_n": r1,
+        "n_steps_n": N * per_rev,
+        "per_rev": per_rev,
+        "state": state,
+        "k0": k0,
+    }
+
+
+def measure_single_rate(cfg, pipe, scene, num_cols, n_points, N=12, calls=2,
+                        fixed_s=0.0, slab_cols=0, slab_head=0):
+    """Battery variant of measure_periodic_rate: ONE program (one compile)
+    per measurement — an N-revolution periodic scan timed over ``calls``
+    calls — with a session-level per-call fixed cost ``fixed_s`` (measure
+    it once per session with measure_periodic_rate's differencing; it is
+    knob-independent: dispatch serialization + the final scalar fetch)
+    subtracted.  Meant for knob ORDERING sweeps where compiling two scan
+    lengths per knob would dominate the session; bank headline numbers
+    with measure_periodic_rate."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from continuous_clustering_tpu.models.throughput import (
+        make_periodic_block_scan_runner,
+    )
+
+    blocks0, segp0, per_rev, hsg = scene
+    state = jax.tree_util.tree_map(
+        jnp.asarray, jax.tree_util.tree_map(np.asarray, pipe.state)
+    )
+    r = make_periodic_block_scan_runner(
+        cfg, pipe._batch_B, num_cols, N * per_rev,
+        slab_cols=slab_cols, slab_head=slab_head,
+    )
+    k0 = 0
+    ts = []
+    for i in range(calls + 1):
+        t0 = time.perf_counter()
+        state, _ = r(state, blocks0, segp0, hsg, jnp.int32(k0))
+        int(np.asarray(state.first_unpublished))
+        if i > 0:  # call 0 is the compile/alloc warmup
+            ts.append(time.perf_counter() - t0)
+        k0 += N * per_rev
+    tot = sum(ts)
+    raw = calls * N * n_points / tot
+    f = max(0.0, min(fixed_s, 0.4 * min(ts)))  # clip runaway calibrations
+    rate = calls * N * n_points / (tot - calls * f)
+    return {
+        "pts_per_s": round(rate),
+        "raw_pts_per_s": round(raw),
+        "fixed_sub_ms": round(f * 1000, 1),
+        "ms_per_rev": round(n_points / rate * 1000.0, 2),
+        "t_ms": [round(t * 1000, 1) for t in ts],
+        "overflow": bool(np.asarray(state.overflow)),
+        "cc_failed": bool(np.asarray(state.cc_failed)),
+    }
+
+
 def prepare_rev_blocks(pipe, firings, n_rev, num_cols):
     """Host-insert ``n_rev + 1`` revolutions and stack the resulting dense
     column blocks per revolution. Requires the host-insertion fast path.
 
     Returns (revs, hsg) where revs[k] = (stacked_blocks, stacked_seg_poses).
-    """
+
+    NOTE (round 4): replaying these stacks cyclically (``revs[k % len]``)
+    is INVALID past one pass — a revolution whose columns the frontier
+    already passed degenerates to a near-no-op step (frontier stuck, zero
+    clusters; verified in tests/test_throughput_runner.py's probe and on
+    CPU).  Keep the measured count within ``n_rev`` distinct revolutions,
+    or use capture_revolution + measure_periodic_rate instead."""
     import jax
     import jax.numpy as jnp
 

@@ -42,7 +42,6 @@ else:
 
 import jax
 import jax.numpy as jnp
-from continuous_clustering_tpu.models.throughput import make_block_scan_runner
 
 num_rows = 16 if smoke else 64
 num_cols = 128 if smoke else 2200
@@ -51,25 +50,23 @@ B = int(os.environ["CCT_CONTRACT_B"])
 cfg, pipe = bench_setup.make_bench_pipe(
     num_rows=num_rows, num_cols=num_cols, batch=B, nth=1, ring_revs=4)
 firings, n_points = bench_setup.make_bench_scene(num_rows, num_cols)
-revs, hsg = bench_setup.prepare_rev_blocks(pipe, firings, 3, num_cols)
-runner = make_block_scan_runner(
-    cfg, pipe._batch_B, slab_cols=pipe._slab_W, slab_head=pipe._slab_W1)
-state = jax.tree_util.tree_map(jnp.asarray,
-                               jax.tree_util.tree_map(np.asarray, pipe.state))
-state, _ = runner(state, revs[0][0], revs[0][1], hsg)
-int(np.asarray(state.first_unpublished))
-n_meas = 2 if smoke else 6
-t0 = time.perf_counter()
-for k in range(1, n_meas + 1):
-    state, _ = runner(state, revs[k % len(revs)][0], revs[k % len(revs)][1], hsg)
-int(np.asarray(state.first_unpublished))
-dt = (time.perf_counter() - t0) / n_meas
+# one-dispatch periodic scan, rate from the 2N-vs-N difference; ALWAYS a
+# fresh coherent stream (the previous per-revolution loop replayed
+# already-consumed revolutions, whose steps degenerate — frontier stuck,
+# zero clusters — and overstate the rate; bench_setup.measure_periodic_rate)
+scene = bench_setup.capture_revolution(pipe, firings, num_cols)
+res = bench_setup.measure_periodic_rate(
+    cfg, pipe, scene, num_cols, n_points, N=2 if smoke else 8,
+    pairs=1 if smoke else 3,
+    slab_cols=pipe._slab_W, slab_head=pipe._slab_W1)
 print(json.dumps({
     "batch": B,
-    "pts_per_s": round(n_points / dt),
-    "ms_per_rev": round(dt * 1000, 2),
-    "overflow": bool(np.asarray(state.overflow)),
-    "cc_failed": bool(np.asarray(state.cc_failed)),
+    "pts_per_s": res["pts_per_s"],
+    "raw_2n_pts_per_s": res["raw_2n_pts_per_s"],
+    "diff_ok": res["diff_ok"],
+    "ms_per_rev": res["ms_per_rev"],
+    "overflow": res["overflow"],
+    "cc_failed": res["cc_failed"],
 }), flush=True)
 """
 

@@ -30,16 +30,14 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from continuous_clustering_tpu.models import throughput as thr  # noqa: E402
-
 SCENES = {  # (num_boxes, spread, min_radius) — must match bench.py SCENES
     "standard": (24, 35.0, 5.0),
     "near_field": (24, 12.0, 3.0),
     "clutter": (96, 30.0, 4.0),
 }
 
-KNOBS = {  # label -> env
-    "s3a2": {},  # shipped round-3 defaults (CCT_SWEEPS=3, CCT_CC_JUMP_AFTER=2)
+KNOBS = {  # label -> env (all explicit: the shipped defaults changed to s1j2)
+    "s3a2": {"CCT_SWEEPS": "3", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "2"},
     "s1j2": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "0"},
     "s2j0": {"CCT_SWEEPS": "2", "CCT_CC_JUMP": "0"},
     "s2j1": {"CCT_SWEEPS": "2", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "0"},
@@ -79,6 +77,14 @@ def main():
               flush=True)
         return 3
 
+    # Measurement method (round-4 correction): the original battery replayed
+    # already-consumed revolutions (revs[k % len] past one pass), whose steps
+    # DEGENERATE — frontier stuck, zero clusters — so 3 of its 8 measured
+    # revolutions under-worked and every banked rate was optimistic.  Now
+    # every measurement advances one coherent stream via the periodic runner
+    # (ONE dispatch per call), the per-call fixed cost is calibrated once by
+    # the 2N-vs-N differencing and subtracted (knob-independent), and each
+    # knob costs one compile.
     scenes = {}
     cfg = None
     for name in (["standard"] if quick else SCENES):
@@ -88,12 +94,23 @@ def main():
             num_rows=64, num_cols=2200, batch=384, nth=1, ring_revs=10
         )
         firings, n_points = make_scene_firings(name)
-        revs, hsg = bench_setup.prepare_rev_blocks(pipe, firings, 5, 2200)
-        init = jax.tree_util.tree_map(np.asarray, pipe.state)
-        scenes[name] = (revs, hsg, init, n_points)
+        scene = bench_setup.capture_revolution(pipe, firings, 2200)
+        scenes[name] = (pipe, scene, n_points)
 
-    def measure(tag, scene, env=None, n_meas=8, slab_cols=0, slab_head=0):
-        revs, hsg, init, n_points = scenes[scene]
+    # session fixed-cost calibration on the standard scene, default knobs
+    pipe0, scene0, n0 = scenes["standard"]
+    cal = bench_setup.measure_periodic_rate(
+        cfg, pipe0, scene0, 2200, n0, N=3 if quick else 6, pairs=2
+    )
+    fixed_s = cal["fixed_call_s"]
+    print(json.dumps({
+        "probe": "fixed_call_ms", "value": round(fixed_s * 1000, 1),
+        "diff_ok": cal["diff_ok"],
+        "calibration_pts_per_s": cal["pts_per_s"],
+    }), flush=True)
+
+    def measure(tag, scene_name, env=None, slab_cols=0, slab_head=0):
+        pipe, scene, n_points = scenes[scene_name]
         env = env or {}
         saved = {}
         for k, v in env.items():
@@ -101,28 +118,17 @@ def main():
             os.environ[k] = v
         try:
             jax.clear_caches()
-            runner = thr.make_block_scan_runner(
-                cfg, pipe._batch_B, slab_cols=slab_cols, slab_head=slab_head
+            res = bench_setup.measure_single_rate(
+                cfg, pipe, scene, 2200, n_points,
+                N=4 if quick else 10, calls=2, fixed_s=fixed_s,
+                slab_cols=slab_cols, slab_head=slab_head,
             )
-            state = jax.tree_util.tree_map(jnp.asarray, init)
-            state, _ = runner(state, revs[0][0], revs[0][1], hsg)
-            int(np.asarray(state.first_unpublished))
-            t0 = time.perf_counter()
-            for k in range(1, n_meas + 1):
-                state, _ = runner(
-                    state, revs[k % len(revs)][0], revs[k % len(revs)][1], hsg
-                )
-            fu = int(np.asarray(state.first_unpublished))
-            dt = (time.perf_counter() - t0) / n_meas
-            print(json.dumps({
-                "tag": tag, "scene": scene, "ms_per_rev": round(dt * 1000, 2),
-                "pts_per_s": round(n_points / dt), "fu": fu,
-                "overflow": bool(np.asarray(state.overflow)),
-                "cc_failed": bool(np.asarray(state.cc_failed)),
-            }), flush=True)
-            return dt
+            res["tag"] = tag
+            res["scene"] = scene_name
+            print(json.dumps(res), flush=True)
+            return res
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"tag": tag, "scene": scene,
+            print(json.dumps({"tag": tag, "scene": scene_name,
                               "error": str(e)[:160]}), flush=True)
             return None
         finally:
@@ -140,7 +146,7 @@ def main():
                 measure(f"{klabel}/{agg}", scene, env)
 
     # publish-slab production cost (the streaming path pays this every step;
-    # the pure-compute bench doesn't): winner knobs, standard scene
+    # the pure-compute knob matrix doesn't): winner knobs, standard scene
     if not quick:
         for sc, sh, tag in ((0, 0, "slab=off"), (1024, 512, "slab=on")):
             measure(

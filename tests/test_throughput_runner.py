@@ -5,7 +5,13 @@ import jax
 import jax.numpy as jnp
 
 from continuous_clustering_tpu.models.continuous_clustering import ContinuousClustering
-from continuous_clustering_tpu.models.throughput import make_scan_runner, stack_batches
+from continuous_clustering_tpu.models.host_insertion import HostInsertion
+from continuous_clustering_tpu.models.throughput import (
+    make_block_scan_runner,
+    make_periodic_block_scan_runner,
+    make_scan_runner,
+    stack_batches,
+)
 from continuous_clustering_tpu.evaluation.synthetic import (
     frame_to_firings,
     make_scene,
@@ -60,3 +66,86 @@ def test_scan_runner_matches_streaming():
         return np.where(slots >= 0, np.asarray(s.slot_cid)[res], 0)
 
     np.testing.assert_array_equal(cell_ids(state), cell_ids(pipe.state))
+
+
+def _capture_rev(cfg, pipe, ins, firings, poses):
+    blocks, segp = [], []
+    first, end, reset = ins.add_firings(firings, poses)
+    while first < end:
+        blk, trig = ins.fetch_block(first, end, pipe._batch_B, 0, reset)
+        blocks.append(blk)
+        segp.append(pipe._seg_poses(trig))
+        first += int(blk.n_cols)
+    ins.clear_before(end - NUM_COLS)
+    return blocks, segp
+
+
+def test_periodic_runner_matches_real_stream_semantics():
+    """The bench's periodic block replay (one revolution + exact offsets,
+    models/throughput.py make_periodic_block_scan_runner) is a valid stream
+    with the production scene's steady-state work profile: the frontier
+    advances one revolution per revolution, CC converges, and per-revolution
+    cluster production equals the really re-inserted stream's (bit-level
+    block equality is impossible — the host engine's f32 azimuth
+    accumulation jitters column boundaries by +-1 between revolutions)."""
+    cfg = small_config()
+    cfg = cfg.replace(
+        range_image=cfg.range_image.__class__(
+            num_columns=NUM_COLS, ring_buffer_revolutions=4
+        )
+    )
+    scene = make_scene(num_boxes=4, seed=1, spread=15.0)
+    xyz, _ = raycast_frame(scene, num_rows=NUM_ROWS, num_columns=NUM_COLS, seed=1)
+    firings = frame_to_firings(xyz, start_stamp=0, end_stamp=10**8)
+    poses = [np.eye(4)] * len(firings)
+    hsg = jnp.asarray(np.float32(-1.5))
+    N_REV = 6
+
+    def fresh():
+        p = ContinuousClustering(cfg, firing_batch_size=55)
+        p.reset(NUM_ROWS)
+        p.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+        return p
+
+    # ---- periodic replay of revolution 0 ----
+    pipe = fresh()
+    ins = HostInsertion(cfg, NUM_ROWS)
+    blocks, segp = _capture_rev(cfg, pipe, ins, firings, poses)
+    per_rev = len(blocks)
+    stack = lambda xs: jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
+    blocks0, segp0 = stack(blocks), stack(segp)
+    runner = make_periodic_block_scan_runner(
+        cfg, pipe._batch_B, NUM_COLS, per_rev, reduce_infos=False
+    )
+    state = pipe.state
+    new_per_rev = []
+    for rev in range(N_REV):
+        state, infos = runner(
+            state, blocks0, segp0, hsg, jnp.int32(rev * per_rev)
+        )
+        new_per_rev.append(int(np.sum(np.asarray(infos.num_new_clusters))))
+    assert not bool(state.overflow)
+    assert not bool(state.cc_failed)
+    # frontier: one revolution per revolution, minus the completion lag
+    fu = int(state.first_unpublished)
+    assert (N_REV - 2) * NUM_COLS < fu <= N_REV * NUM_COLS
+    # steady state: identical scene content -> identical cluster production
+    assert new_per_rev[3] == new_per_rev[4] == new_per_rev[5]
+    assert new_per_rev[4] > 0
+
+    # ---- really re-inserted stream (the production path) ----
+    p2 = fresh()
+    ins2 = HostInsertion(cfg, NUM_ROWS)
+    real_runner = make_block_scan_runner(cfg, p2._batch_B)
+    state2 = p2.state
+    real_per_rev = []
+    for rev in range(N_REV):
+        blocks, segp = _capture_rev(cfg, p2, ins2, firings, poses)
+        while len(blocks) < per_rev:  # fixed leading dim: pad no-op blocks
+            blocks.append(blocks[-1]._replace(n_cols=jnp.zeros((), jnp.int32)))
+            segp.append(segp[-1])
+        state2, infos = real_runner(state2, stack(blocks), stack(segp), hsg)
+        real_per_rev.append(int(np.sum(np.asarray(infos.num_new_clusters))))
+    assert not bool(state2.overflow)
+    assert real_per_rev[4] == new_per_rev[4]
+    assert abs(int(state2.first_unpublished) - fu) <= 2
