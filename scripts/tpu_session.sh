@@ -1,5 +1,6 @@
 #!/bin/bash
-# Bank all queued TPU measurements in order, each bounded, results to stdout.
+# Bank all queued TPU measurements in order, each bounded, results to stdout
+# and to /tmp/*.json for later banking into the repo.
 # Run when the tunnel recovers: bash scripts/tpu_session.sh 2>&1 | tee /tmp/tpu_session.log
 # ONE TPU process at a time (CLAUDE.md measurement rules): this script is
 # strictly sequential; do not run anything else against the chip meanwhile.
@@ -9,33 +10,20 @@ timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 
-# 0. scatter-context experiment: resolves the 6.5 ns/lane mystery
-#    (H1 VMEM residency vs H2 loop-invariant-index hoisting) and probes
-#    sorted/unique scatter lowering (docs/ROUND3_NOTES.md)
-timeout 1500 python scripts/microbench_scatter_context.py 2>&1 | grep -E "case|error"
+# 1. headline bench, method v2 (one-dispatch periodic scan + differencing,
+#    publish slab included in the device rate, valid overlap measurement)
+timeout 2400 python bench.py > /tmp/bench_r4v2.json 2>/tmp/bench_r4v2.err
+cat /tmp/bench_r4v2.json
 
-# 0b. structural half of the same question: what lowering does each
-#     scatter flag combination get in TPU optimized HLO?
-timeout 600 python scripts/scatter_hlo_inventory.py --dump 2>&1 | grep -vE "WARNING|^$"
+# 2. one-config contract re-measurement (the banked CONTRACT_r4.json
+#    throughput counted degenerate replayed revolutions — r4 correction #2);
+#    rewrites CONTRACT_r4.json and LATENCY_r4.json in-repo
+timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r4v2.err | tee /tmp/contract_r4v2.out
 
-# 1. kernel equality + step time at current defaults (cm ids, sweeps=3)
+# 3. knob battery re-run with valid measurements (confirm/refute the s1j2
+#    defaults; the original battery's absolute rates were inflated by
+#    degenerate replays, relative ordering probably held)
+timeout 5400 python scripts/tpu_experiments_r4.py 2>/tmp/battery_r4v2.err | tee /tmp/battery_r4v2.out
+
+# 4. kernel parity + step time at current defaults
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
-
-# 2. experiment battery: baseline x3, CC knob matrix incl. sweeps 4-6 /
-#    deferred jumps, agg modes, substitution probes
-timeout 3600 python scripts/tpu_experiments_r3.py
-
-# 3. cm vs rm label A/B on the full program
-for L in cm rm; do
-  echo "=== labels=$L ==="
-  CCT_LABEL=$L timeout 1200 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
-done
-
-# 4. headline bench (current defaults)
-timeout 1800 python bench.py
-
-# 5. latency refresh -> LATENCY_r3.json
-timeout 1500 python scripts/latency_model.py --batch 64
-
-# 6. fresh device trace for the next optimization round
-PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py || true
