@@ -27,3 +27,8 @@ timeout 5400 python scripts/tpu_experiments_r4.py 2>/tmp/battery_r4v2.err | tee 
 
 # 4. kernel parity + step time at current defaults
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
+
+# 5. fresh per-op device trace (feeds the next optimization pass: the
+#    "everything else ~2.2 ms/step" bucket in docs/ROUND3_NOTES.md)
+PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r4v2.out 2>&1 || true
+tail -60 /tmp/trace_r4v2.out
