@@ -134,6 +134,8 @@ class ContinuousClustering:
         self._cloud_cache = None
         # observability for the zero-dispatch-emission guarantee (tested)
         self.n_fetch_dispatches = 0
+        # CC diffusion rounds of the last consumed batch (meta lane)
+        self.last_cc_rounds = 0
         # optional publish trace: when set to a list, _consume_info appends
         # one dict per consumed step (real publish windows + counter ranges
         # + the materialized slab) — bench.py replays these to measure the
@@ -538,9 +540,9 @@ class ContinuousClustering:
             self._consume_info(self._pending_infos.pop(0))
 
     def _consume_info(self, info) -> int:
-        from .step import (META_CC_FAILED, META_COUNTER_OLD, META_FU_NEW,
-                           META_FU_OLD, META_GCOL0, META_NCOLS, META_NUM_NEW,
-                           META_OVERFLOW, META_RESET, N_META)
+        from .step import (META_CC_FAILED, META_CC_ROUNDS, META_COUNTER_OLD,
+                           META_FU_NEW, META_FU_OLD, META_GCOL0, META_NCOLS,
+                           META_NUM_NEW, META_OVERFLOW, META_RESET, N_META)
 
         # ONE device->host transfer for all per-step scalars (through a
         # remote link each int(...) conversion pays a round trip)
@@ -566,6 +568,9 @@ class ContinuousClustering:
 
         n_cols = int(m[META_NCOLS])
         self._last_ncols = n_cols
+        # observability: CC diffusion rounds of this batch (scenes needing
+        # many rounds are where the CCT_SWEEPS/CCT_CC_JUMP knobs matter)
+        self.last_cc_rounds = int(m[META_CC_ROUNDS])
         gcol0 = int(m[META_GCOL0])
         fu_old, fu_new = int(m[META_FU_OLD]), int(m[META_FU_NEW])
         if n_cols == 0 and fu_new == fu_old:
@@ -619,6 +624,7 @@ class ContinuousClustering:
                 gcol0=gcol0, n_cols=n_cols, fu_old=fu_old, fu_new=fu_new,
                 counter_old=counter_old, counter_new=counter_old + num_new,
                 slab_np=slab_np, slab_lo=slab_lo, tabs=tabs,
+                cc_rounds=self.last_cc_rounds,
             ))
         return n_cols
 

@@ -32,8 +32,9 @@ from ..ops.state import RingState
 
 # meta vector lanes
 (META_GCOL0, META_NCOLS, META_FU_OLD, META_FU_NEW, META_NUM_NEW,
- META_COUNTER_OLD, META_RESET, META_OVERFLOW, META_CC_FAILED) = range(9)
-N_META = 9
+ META_COUNTER_OLD, META_RESET, META_OVERFLOW, META_CC_FAILED,
+ META_CC_ROUNDS) = range(10)
+N_META = 10
 
 
 class StepInfo(NamedTuple):
@@ -90,15 +91,21 @@ class StepInfo(NamedTuple):
     def cc_failed(self):
         return self.meta[..., META_CC_FAILED]
 
+    @property
+    def cc_rounds(self):
+        # CC fixpoint rounds this batch (observability: scenes needing many
+        # diffusion rounds are where the CCT_SWEEPS/CCT_CC_JUMP knobs matter)
+        return self.meta[..., META_CC_ROUNDS]
+
 
 def pack_meta(gcol0, n_cols, fu_old, fu_new, num_new, counter_old,
-              reset_required, overflow, cc_failed,
+              reset_required, overflow, cc_failed, cc_rounds=0,
               join_tabs=None) -> jax.Array:
-    """Pack the step scalars (lanes 0..8) and, when the publish slab is on,
+    """Pack the step scalars (lanes 0..9) and, when the publish slab is on,
     the flattened (2, K) component-slot join tables (ops/readout.py
     join_tables) into one i32 vector = one device->host transfer."""
     vals = [gcol0, n_cols, fu_old, fu_new, num_new, counter_old,
-            reset_required, overflow, cc_failed]
+            reset_required, overflow, cc_failed, cc_rounds]
     head = jnp.stack([jnp.asarray(v).astype(jnp.int32) for v in vals])
     if join_tabs is None:
         return head
@@ -208,6 +215,7 @@ def pipeline_step_block(
             block.gcol0, block.n_cols, cres.fu_old, cres.fu_new,
             cres.num_new_clusters, counter_old,
             state.reset_required, state.overflow, state.cc_failed,
+            cc_rounds=cres.cc_rounds,
             join_tabs=join_tables(state) if slab_cols else None,
         ),
         slab=slab, slab_ext=slab_ext,
@@ -291,6 +299,7 @@ def pipeline_step(
             gcol0, n_cols, cres.fu_old, cres.fu_new,
             cres.num_new_clusters, counter_old,
             state.reset_required, state.overflow, state.cc_failed,
+            cc_rounds=cres.cc_rounds,
             join_tabs=join_tables(state) if slab_cols else None,
         ),
         slab=slab, slab_ext=slab_ext,

@@ -94,6 +94,62 @@ def _jump_take(Lflat: jax.Array, f: jax.Array, R: int, WCOL: int) -> jax.Array:
     return jnp.take(Lflat, f)
 
 
+def _hscan_conn(config: Config, bits: jax.Array, R: int, H: int) -> jax.Array:
+    """Per-cell horizontal connectivity: conn[r, wc] = a (dr=0, dc=1) edge
+    exists between window columns wc-1 and wc (halo columns carry no bits
+    and start fresh runs; the halo→batch link is applied by the sweep)."""
+    V = config.clustering.max_steps_in_column
+    B = bits.shape[-1]
+    conn_b = ((bits[1, V // 32] >> jnp.int32(V % 32)) & 1) == 1  # (R, B)
+    return jnp.concatenate([jnp.zeros((R, H), bool), conn_b], axis=1)
+
+
+def _hscan_min(L: jax.Array, conn: jax.Array) -> jax.Array:
+    """Segmented min along rows: propagate labels through runs of directly
+    horizontally-connected (dr=0, dc=1 edge) same-row columns, both
+    directions, in one log-depth associative scan each.
+
+    Pure extra min-propagation along real edges — the monotone min-label
+    fixpoint is unchanged — but a wide flat component (near-field wall or
+    vehicle spanning hundreds of batch columns) collapses in O(1) rounds
+    instead of O(width / sweep reach): the cc_rounds meta lane showed
+    12-round spikes on exactly such steps (docs/ROUND4_NOTES.md)."""
+
+    def seg(Lx, start):
+        def op(a, b):
+            sa, va = a
+            sb, vb = b
+            return sa | sb, jnp.where(sb, vb, jnp.minimum(va, vb))
+
+        _, v = jax.lax.associative_scan(op, (start, Lx), axis=1)
+        return v
+
+    fwd = seg(L, ~conn)
+    # reverse: the link between c and c+1 is conn[c+1] (wrap lands on the
+    # scan's first element, whose start flag is irrelevant)
+    start_b = ~jnp.roll(conn, -1, axis=1)
+    bwd = jnp.flip(seg(jnp.flip(L, 1), jnp.flip(start_b, 1)), 1)
+    return jnp.minimum(fwd, bwd)
+
+
+def _hscan_after() -> int:
+    """CCT_CC_HSCAN: -1/unset = off; N >= 0 = run the row scan after every
+    sweep from round N on (while still unconverged)."""
+    import os as _os
+
+    return int(_os.environ.get("CCT_CC_HSCAN", "-1"))
+
+
+def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
+    """(post_fn, post_after) for cc_converge / the Pallas driver, or
+    (None, 0) when CCT_CC_HSCAN is off."""
+    hs = _hscan_after()
+    if hs < 0:
+        return None, 0
+    conn = _hscan_conn(config, bits, R, H)
+    return (lambda L: _hscan_min(L, conn)), hs
+
+
 class AssocInputs(NamedTuple):
     gcol0: jax.Array   # () i32 first new column
     n_cols: jax.Array  # () i32 number of valid new columns (<= B)
@@ -341,15 +397,18 @@ def _edge_bits(config: Config, state: RingState, inputs: AssocInputs, B: int):
 
 
 def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
-                L0=None):
+                L0=None, post=None, post_after=0):
     """Shared CC driver: alternate a sweep with pointer-jump compression
     until the labels are stable.  ``L0`` optionally seeds the labels (must
     be component-consistent: L0[i] = wlid of some cell in i's component,
     <= wlid[i]); the fixpoint is the same per-component minimum wlid.
 
-    Returns ``(labels, converged)`` — ``converged`` is False iff the loop
-    hit ``max_iters`` with labels still changing (a pathological chain the
-    caller must surface rather than silently mislabel)."""
+    Returns ``(labels, converged, rounds)`` — ``converged`` is False iff
+    the loop hit ``max_iters`` with labels still changing (a pathological
+    chain the caller must surface rather than silently mislabel);
+    ``rounds`` is the executed iteration count (rides StepInfo.meta as
+    observability: scenes needing many diffusion rounds are where the CC
+    knobs CCT_SWEEPS/CCT_CC_JUMP matter, docs/ROUND4_NOTES.md)."""
     if L0 is not None:
         wlid = L0
     elif _use_cm_labels():
@@ -360,10 +419,17 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
     else:
         wlid = jnp.arange(R * WCOL, dtype=jnp.int32).reshape(R, WCOL)
 
+    import os as _os
+
+    # pointer-doubling count per round (f stays position-indexed through
+    # the hops); same knob as the Pallas driver so CPU probes of the
+    # cc_rounds meta lane predict the TPU knob's effect
+    n_jump = int(_os.environ.get("CCT_CC_JUMP", "2"))
+
     def jump(L):
         f = L.reshape(-1)
-        f = _jump_take(f, f, R, WCOL)  # pointer doubling: f stays
-        f = _jump_take(f, f, R, WCOL)  # position-indexed through the hops
+        for _ in range(n_jump):
+            f = _jump_take(f, f, R, WCOL)
         return f.reshape(R, WCOL)
 
     def cond(c):
@@ -372,13 +438,18 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
 
     def body(c):
         L, _, it = c
-        L2 = jump(sweep_fn(L))
+        L2 = sweep_fn(L)
+        if post is not None:
+            # extra exact min-propagation (e.g. the segmented row scan,
+            # _hscan_min) applied from round ``post_after`` on
+            L2 = jax.lax.cond(it >= post_after, post, lambda l: l, L2)
+        L2 = jump(L2)
         return L2, jnp.any(L2 != L), it + 1
 
-    L, changed, _ = jax.lax.while_loop(
+    L, changed, it = jax.lax.while_loop(
         cond, body, (wlid, jnp.asarray(True), 0)
     )
-    return L, ~changed
+    return L, ~changed, it
 
 
 def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array, L0,
@@ -427,7 +498,8 @@ def _window_cc_vectorized(config: Config, bits: jax.Array, active_w: jax.Array, 
         pull = jnp.minimum(jnp.min(gl, axis=0), jnp.min(gr, axis=0))
         return jnp.minimum(L, pull)
 
-    return cc_converge(sweep, R, WCOL, L0=L0)
+    post, post_after = _hscan_post(config, bits, R, H)
+    return cc_converge(sweep, R, WCOL, L0=L0, post=post, post_after=post_after)
 
 
 def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array, L0,
@@ -479,7 +551,8 @@ def _window_cc_unrolled(config: Config, bits: jax.Array, active_w: jax.Array, L0
                 i += 1
         return out
 
-    return cc_converge(sweep, R, WCOL, L0=L0)
+    post, post_after = _hscan_post(config, bits, R, H)
+    return cc_converge(sweep, R, WCOL, L0=L0, post=post, post_after=post_after)
 
 
 def _window_cc_stacked(config: Config, bits: jax.Array, active_w: jax.Array, L0,
@@ -532,7 +605,8 @@ def _window_cc_stacked(config: Config, bits: jax.Array, active_w: jax.Array, L0,
             out = jnp.minimum(out, jnp.min(jnp.where(maskR[dc], src, inf), axis=0))
         return out
 
-    return cc_converge(sweep, R, WCOL, L0=L0)
+    post, post_after = _hscan_post(config, bits, R, H)
+    return cc_converge(sweep, R, WCOL, L0=L0, post=post, post_after=post_after)
 
 
 def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, L0,
@@ -583,7 +657,8 @@ def _window_cc(config: Config, bits: jax.Array, active_w: jax.Array, L0,
         _, L = jax.lax.while_loop(cond, body, (jnp.int32(0), L))
         return L
 
-    return cc_converge(sweep, R, WCOL, L0=L0)
+    post, post_after = _hscan_post(config, bits, R, H)
+    return cc_converge(sweep, R, WCOL, L0=L0, post=post, post_after=post_after)
 
 
 def _f32_sort_key(x: jax.Array) -> jax.Array:
@@ -609,6 +684,7 @@ class CompleteResult(NamedTuple):
     fu_old: jax.Array        # () i32 first_unpublished before completion
     fu_new: jax.Array        # () i32 after
     num_new_clusters: jax.Array  # () i32
+    cc_rounds: jax.Array     # () i32 CC fixpoint rounds this batch
 
 
 def _cut_result(state: RingState, fu_old: jax.Array, tensors) -> CompleteResult:
@@ -625,6 +701,7 @@ def _cut_result(state: RingState, fu_old: jax.Array, tensors) -> CompleteResult:
     return CompleteResult(
         state=state, fu_old=fu_old, fu_new=fu_old,
         num_new_clusters=jnp.asarray(0, jnp.int32),
+        cc_rounds=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -684,15 +761,23 @@ def associate_and_complete(
     mode = os.environ.get("CCT_CC", "") or _default_cc_mode()
     if (pallas_enabled(B) and brev is not None
             and os.environ.get("CCT_PALLAS_CC", "1") == "1"):
-        Lw, cc_ok = window_cc_pallas(config, bits, brev, active_w, L0, B, max_wp)
+        Lw, cc_ok, cc_rounds = window_cc_pallas(
+            config, bits, brev, active_w, L0, B, max_wp
+        )
     elif mode == "fori":
-        Lw, cc_ok = _window_cc(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok, cc_rounds = _window_cc(config, bits, active_w, L0, B, max_wp)
     elif mode == "unrolled":
-        Lw, cc_ok = _window_cc_unrolled(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok, cc_rounds = _window_cc_unrolled(
+            config, bits, active_w, L0, B, max_wp
+        )
     elif mode == "stacked":
-        Lw, cc_ok = _window_cc_stacked(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok, cc_rounds = _window_cc_stacked(
+            config, bits, active_w, L0, B, max_wp
+        )
     else:
-        Lw, cc_ok = _window_cc_vectorized(config, bits, active_w, L0, B, max_wp)
+        Lw, cc_ok, cc_rounds = _window_cc_vectorized(
+            config, bits, active_w, L0, B, max_wp
+        )
     if profile_cut == "cc":
         return _cut_result(state, state.first_unpublished, (Lw,))
     if "subcc" in profile_cut:
@@ -701,6 +786,7 @@ def associate_and_complete(
         # keeps the whole while_loop live and the probe measures full CC cost.
         Lw = L0
         cc_ok = jnp.asarray(True)
+        cc_rounds = jnp.asarray(0, jnp.int32)
 
 
     # ---- window labels -> component slots ---------------------------------
@@ -1292,5 +1378,6 @@ def associate_and_complete(
         )
     state = dataclasses.replace(state, ring_start=cleared_to)
     return CompleteResult(
-        state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new
+        state=state, fu_old=fu_old, fu_new=fu_new, num_new_clusters=num_new,
+        cc_rounds=cc_rounds,
     )

@@ -56,7 +56,7 @@ def pallas_enabled(B: int) -> bool:
 
 
 def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
-                  bits_ref, brev_ref, upper_ref, occ_ref, l_in_ref,
+                  bits_ref, brev_ref, upper_ref, occ_ref, dir_ref, l_in_ref,
                   out_ref, chg_ref,
                   lpad_ref, prev_ref, lroll_ref, lroll2_ref):
     """One Gauss-Seidel sweep.
@@ -79,7 +79,14 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
     lpad_ref[:, :] = jnp.full((R + 2 * V, PW), INF, jnp.int32)
     lpad_ref[V : V + R, H : H + WCOL] = l_in_ref[:, :]
 
-    def body(dc, _):
+    def body(i, _):
+        # dc iteration order: ascending, or descending when the driver set
+        # dir=1 (CCT_CC_ALT alternates per round: the in-place update chain
+        # then runs the other way across column offsets, collapsing zigzag
+        # label chains in about half the rounds at zero per-round cost —
+        # any sweep order reaches the same monotone min-label fixpoint, and
+        # a zero-change sweep certifies convergence regardless of order)
+        dc = jnp.where(dir_ref[0, 0] == 1, upper_ref[0, 0] - 1 - i, i)
         # hoist the label rotations: the whole padded grid rotates ONCE per
         # dc in each direction; row offsets then read static sublane slices
         # (two big rolls per dc instead of two per (dc, dr)).  Reads within
@@ -147,7 +154,7 @@ def _sweep_kernel(H: int, V: int, R: int, B: int, WCOL: int, n_sweeps: int,
 
 def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
                  occ: jax.Array, L: jax.Array, max_wp: jax.Array,
-                 n_sweeps: int = None):
+                 n_sweeps: int = None, direction=0):
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
 
@@ -179,6 +186,7 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # bits_rev
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),    # upper
             pl.BlockSpec((H + 1, 2), memory_space=pltpu.SMEM),  # occupancy
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),    # dc direction
             pl.BlockSpec(memory_space=pltpu.VMEM),            # labels in
         ],
         out_specs=(
@@ -190,7 +198,8 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
             for _ in range(4)  # lpad, prev, lroll, lroll2
         ],
         interpret=os.environ.get("CCT_PALLAS_INTERPRET", "0") == "1",
-    )(bits, brev, jnp.asarray(upper, jnp.int32).reshape(1, 1), occ, L)
+    )(bits, brev, jnp.asarray(upper, jnp.int32).reshape(1, 1), occ,
+      jnp.asarray(direction, jnp.int32).reshape(1, 1), L)
 
 
 def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
@@ -203,9 +212,9 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     flag; pointer jumping runs only while unconverged (it compresses label
     chains if the in-place propagation stalls on snake-shaped components).
 
-    Returns ``(labels, converged)`` like ``association.cc_converge``; the
-    64-round cap matches the XLA path, and ``converged`` is False iff the
-    cap was hit with labels still changing."""
+    Returns ``(labels, converged, rounds)`` like ``association.cc_converge``;
+    the 64-round cap matches the XLA path, and ``converged`` is False iff
+    the cap was hit with labels still changing."""
     R, WCOL = active_w.shape
 
     # jump strength: number of f = f[f] applications per unconverged round.
@@ -218,6 +227,14 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     # the standard scene is within noise (see sweep_pallas docstring).
     n_jump = int(os.environ.get("CCT_CC_JUMP", "2"))
     jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "0"))
+    # alternate the in-kernel dc iteration direction per round: zigzag
+    # label chains collapse in about half the rounds at zero per-round
+    # cost (measure before defaulting; battery tag s1j2alt)
+    alt_dir = os.environ.get("CCT_CC_ALT", "0") == "1"
+    from .association import _hscan_post
+
+    H = config.clustering.max_steps_in_row
+    post, post_after = _hscan_post(config, bits, R, H)
 
     def jump(L):
         from .association import _jump_take
@@ -238,13 +255,21 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
 
     def body(c):
         L, _, it = c
-        L2, d = sweep_pallas(config, bits, brev, occ, L, max_wp)
+        direction = (it % 2) if alt_dir else 0
+        L2, d = sweep_pallas(config, bits, brev, occ, L, max_wp,
+                             direction=direction)
         changed = d[0, 0] > 0
+        if post is not None:
+            # segmented row min-scan (association._hscan_min): collapses
+            # wide flat components the sweep would need many rounds for
+            L2 = jax.lax.cond(
+                changed & (it >= post_after), post, lambda l: l, L2
+            )
         L3 = jax.lax.cond(changed & (it >= jump_after), jump, lambda l: l, L2)
         return L3, changed, it + 1
 
-    L, changed, _ = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
-    return L, ~changed
+    L, changed, it = jax.lax.while_loop(cond, body, (L0, jnp.asarray(True), 0))
+    return L, ~changed, it
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,23 @@ KNOBS = {  # label -> env (all explicit: the shipped defaults changed to s1j2)
     "s1j2": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "0"},
     "s2j0": {"CCT_SWEEPS": "2", "CCT_CC_JUMP": "0"},
     "s2j1": {"CCT_SWEEPS": "2", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "0"},
+    # alternating dc direction per round (zero per-round cost; targets the
+    # near-field/clutter round spikes seen in the cc_rounds meta lane)
+    "s1j2alt": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2",
+                "CCT_CC_JUMP_AFTER": "0", "CCT_CC_ALT": "1"},
+    "s1j0alt": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0", "CCT_CC_ALT": "1"},
+    # stronger per-round chain compression: the cc_rounds meta lane shows
+    # 8-12-round spikes on near_field/clutter steps at j=2; an extra jump
+    # costs ~0.18 ms/round but can cut rounds superlinearly
+    "s1j3": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "3", "CCT_CC_JUMP_AFTER": "0"},
+    # segmented row min-scan after each sweep (association._hscan_min): on
+    # CPU probes it cuts near_field spikes 12->4 (mean 4.7->3.0) and
+    # clutter 8->6 (4.7->3.5); measure the TPU cost of the two
+    # associative scans per round before defaulting
+    "s1j2hs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2",
+               "CCT_CC_JUMP_AFTER": "0", "CCT_CC_HSCAN": "0"},
+    "s1j1hs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1",
+               "CCT_CC_JUMP_AFTER": "0", "CCT_CC_HSCAN": "0"},
 }
 
 

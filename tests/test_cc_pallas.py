@@ -84,3 +84,20 @@ def test_pallas_sweep_matches_xla(monkeypatch):
     monkeypatch.setenv("CCT_PALLAS", "1")
     l_pl, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
     assert partition_agreement(l_xla, l_pl) == 1.0
+
+
+def test_pallas_alternating_direction_matches_xla(monkeypatch):
+    """CCT_CC_ALT=1 alternates the in-kernel dc iteration direction per
+    round (a pure Gauss-Seidel scheduling change: same monotone min-label
+    fixpoint).  The serpentine stream is the adversarial case — long
+    zigzag chains are exactly what alternation is for."""
+    monkeypatch.setenv("CCT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CCT_CC_ALT", "1")
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=1, seed=5)
+
+    monkeypatch.setenv("CCT_PALLAS", "0")
+    l_xla, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    monkeypatch.setenv("CCT_PALLAS", "1")
+    l_pl, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    assert partition_agreement(l_xla, l_pl) == 1.0
