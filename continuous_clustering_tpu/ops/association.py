@@ -133,11 +133,14 @@ def _hscan_min(L: jax.Array, conn: jax.Array) -> jax.Array:
 
 
 def _hscan_after() -> int:
-    """CCT_CC_HSCAN: -1/unset = off; N >= 0 = run the row scan after every
-    sweep from round N on (while still unconverged)."""
+    """CCT_CC_HSCAN: -1 = off; N >= 0 = run the row scan after every sweep
+    from round N on (while still unconverged).  Default ON from round 0:
+    two valid-method TPU batteries measured the scan lifting every bench
+    scene (min-over-scenes 5.48M -> 6.2M+ pts/s with the new jump
+    defaults; docs/ROUND4_NOTES.md)."""
     import os as _os
 
-    return int(_os.environ.get("CCT_CC_HSCAN", "-1"))
+    return int(_os.environ.get("CCT_CC_HSCAN", "0"))
 
 
 def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
@@ -424,7 +427,7 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
     # pointer-doubling count per round (f stays position-indexed through
     # the hops); same knob as the Pallas driver so CPU probes of the
     # cc_rounds meta lane predict the TPU knob's effect
-    n_jump = int(_os.environ.get("CCT_CC_JUMP", "2"))
+    n_jump = int(_os.environ.get("CCT_CC_JUMP", "1"))
 
     def jump(L):
         f = L.reshape(-1)

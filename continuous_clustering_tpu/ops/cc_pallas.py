@@ -158,13 +158,10 @@ def sweep_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     """n_sweeps Gauss-Seidel sweeps in one launch; returns (labels, changed)
     where changed counts label updates in the final sweep (0 = fixpoint).
 
-    Default 1 sweep per launch with immediate pointer jumps: the round-4
-    battery (after the CCT_CC_JUMP=0 clamp fix invalidated the round-3
-    jump-free readings) measured s=1,j=2 as the min-maximizer across all
-    three bench scenes — clutter 5.54M / near-field 5.79M / standard 6.28M
-    pts/s vs the round-3 default's (s=3, jump_after=2) 5.00 / 5.32 / 6.43:
-    scenes with many components need many diffusion rounds, where early
-    chain compression beats extra in-place sweeps."""
+    Default 1 sweep per launch; the driver (window_cc_pallas) adds the
+    segmented row min-scan and one deferred pointer jump per round — the
+    round-4 valid-method batteries' min-maximizer across all three bench
+    scenes (docs/ROUND4_NOTES.md knob tables)."""
     if n_sweeps is None:
         n_sweeps = int(os.environ.get("CCT_SWEEPS", "1"))
     cl = config.clustering
@@ -225,8 +222,14 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     # deferred/jump-free settings losing 10% on the clutter and near-field
     # scenes (many components => many rounds => compression pays), while
     # the standard scene is within noise (see sweep_pallas docstring).
-    n_jump = int(os.environ.get("CCT_CC_JUMP", "2"))
-    jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "0"))
+    # Round-4 defaults (two valid-method TPU batteries, docs/ROUND4_NOTES.md):
+    # with the segmented row scan on, ONE deferred jump is the min-maximizer
+    # across the bench scenes — s1j1a1hs min-over-scenes 6.22M vs the old
+    # s1j2 default's 5.48M; jump-free (s1j0hs, 6.31M) ties within session
+    # noise but loses the chain-compression safety net for components the
+    # horizontal scan cannot collapse (vertical zigzags: the snake test).
+    n_jump = int(os.environ.get("CCT_CC_JUMP", "1"))
+    jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "1"))
     # alternate the in-kernel dc iteration direction per round: zigzag
     # label chains collapse in about half the rounds at zero per-round
     # cost (measure before defaulting; battery tag s1j2alt)
