@@ -147,7 +147,7 @@ def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
     """(post_fn, post_after) for cc_converge / the Pallas driver, or
     (None, 0) when CCT_CC_HSCAN is off."""
     hs = _hscan_after()
-    if hs < 0:
+    if hs < 0 or H < 1:  # bits carry no dc=1 plane when the wedge is 0 wide
         return None, 0
     conn = _hscan_conn(config, bits, R, H)
     return (lambda L: _hscan_min(L, conn)), hs
