@@ -1,0 +1,111 @@
+"""Round-4b TPU battery: the CC-schedule knob space around the segmented
+row min-scan (CCT_CC_HSCAN) — the run that derived the shipped defaults
+(CCT_SWEEPS=1, CCT_CC_JUMP=1, CCT_CC_JUMP_AFTER=1, CCT_CC_HSCAN=0).
+
+Measured 2026-08-19 on a quiet box, link ~31 ms/RT (results in
+docs/ROUND4_NOTES.md): min-over-scenes s1j2 5.48M -> s1j1a1hs 6.22M
+pts/s; jump-free + scan (s1j0hs) ties within session noise but gives up
+chain compression for components the horizontal scan cannot collapse.
+
+Method: bench_setup.measure_single_rate (one-dispatch periodic scan per
+knob, session-calibrated fixed-cost subtraction) — never replays consumed
+revolutions and cancels link cost; see measure_periodic_rate for the
+headline-grade differenced variant.
+
+Usage: python scripts/tpu_experiments_r4b.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from continuous_clustering_tpu.tools import bench_setup  # noqa: E402
+
+bench_setup.enable_compile_cache()
+from continuous_clustering_tpu.utils.platform import ensure_backend  # noqa: E402
+
+
+KNOBS = {
+    # first battery: the scan vs the old default, plus rejected candidates
+    "s1j2":    {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "-1"},
+    "s1j2hs":  {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "0"},
+    "s1j2alt": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "2", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "-1", "CCT_CC_ALT": "1"},
+    "s1j3":    {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "3", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "-1"},
+    # second battery: jump strength/deferral under the scan
+    "s1j0hs":  {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0", "CCT_CC_HSCAN": "0"},
+    "s1j1hs":  {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "0"},
+    "s1j1a1hs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+                 "CCT_CC_HSCAN": "0"},  # shipped defaults
+    "s2j1hs":  {"CCT_SWEEPS": "2", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "0",
+                "CCT_CC_HSCAN": "0"},
+}
+
+
+def main():
+    ensure_backend()
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpu_experiments_r4 import SCENES, link_ms, make_scene_firings
+
+    rt = link_ms()
+    print(json.dumps({"probe": "link_rt_ms", "value": round(rt, 1)}), flush=True)
+    if rt > 80:
+        print(json.dumps({"error": "tunnel degraded", "rt_ms": round(rt, 1)}),
+              flush=True)
+        return 3
+
+    scenes = {}
+    cfg = None
+    for name in SCENES:
+        cfg, pipe = bench_setup.make_bench_pipe(
+            num_rows=64, num_cols=2200, batch=384, nth=1, ring_revs=10
+        )
+        firings, n_points = make_scene_firings(name)
+        scene = bench_setup.capture_revolution(pipe, firings, 2200)
+        scenes[name] = (pipe, scene, n_points)
+
+    pipe0, scene0, n0 = scenes["standard"]
+    cal = bench_setup.measure_periodic_rate(
+        cfg, pipe0, scene0, 2200, n0, N=6, pairs=2
+    )
+    fixed_s = cal["fixed_call_s"]
+    print(json.dumps({
+        "probe": "fixed_call_ms", "value": round(fixed_s * 1000, 1),
+        "diff_ok": cal["diff_ok"], "calibration_pts_per_s": cal["pts_per_s"],
+    }), flush=True)
+
+    for scene_name in scenes:
+        pipe, scene, n_points = scenes[scene_name]
+        for tag, env in KNOBS.items():
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                jax.clear_caches()
+                res = bench_setup.measure_single_rate(
+                    cfg, pipe, scene, 2200, n_points,
+                    N=10, calls=2, fixed_s=fixed_s,
+                )
+                res.update(tag=tag, scene=scene_name)
+                print(json.dumps(res), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"tag": tag, "scene": scene_name,
+                                  "error": str(e)[:160]}), flush=True)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
