@@ -35,7 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .state import RingState, ring_read
+from .state import RingState
 
 # field order of the slab rows; PK8 packs the four u8-range fields
 # (intensity | ground_label<<8 | debug_label<<16 | is_ignored<<24); the
@@ -73,27 +73,31 @@ def join_tables(state: RingState) -> jax.Array:
 def packed_readout(state: RingState, lc0: jax.Array, width: int,
                    with_nbr: bool = False) -> jax.Array:
     """Read ``width`` ring columns starting at local column ``lc0`` as a
-    packed (slab_rows(with_nbr), R, width) i32 slab."""
+    packed (slab_rows(with_nbr), R, width) i32 slab.
 
-    def rd(name):
-        a = ring_read(getattr(state, name), lc0, width)
-        if a.dtype in (jnp.float32, jnp.uint32):
-            a = jax.lax.bitcast_convert_type(a, jnp.int32)
-        return a
+    All raw planes ride ONE stacked ring read (``ring_read_stack``: one
+    shared wrap correction instead of ~5 ops per field — the slab is
+    per-op-overhead-bound, docs/ROUND4_NOTES.md slab A/B), then the four
+    u8-range fields pack into the PK8 row."""
+    from .state import ring_read_stack
 
-    rows = [rd(f) for f in FETCH_F32 + FETCH_U32]
-    pk8 = (
-        jnp.clip(ring_read(state.intensity, lc0, width), 0, 255)
-        | ((ring_read(state.ground_label, lc0, width) & 0xFF) << 8)
-        | ((ring_read(state.debug_label, lc0, width) & 0xFF) << 16)
-        | (ring_read(state.is_ignored, lc0, width).astype(jnp.int32) << 24)
-    )
-    rows.append(pk8)
-    rows.append(rd("firing_index"))
-    rows.append(ring_read(state.slot, lc0, width))
+    planes = [getattr(state, f) for f in FETCH_F32 + FETCH_U32]
+    planes += [state.intensity, state.ground_label, state.debug_label,
+               state.is_ignored, state.firing_index, state.slot]
     if with_nbr:
-        rows.append(rd("nbr_stats"))
-    return jnp.stack(rows)
+        planes.append(state.nbr_stats)
+    stack = ring_read_stack(planes, lc0, width)
+    n = len(FETCH_F32 + FETCH_U32)
+    pk8 = (
+        jnp.clip(stack[n], 0, 255)
+        | ((stack[n + 1] & 0xFF) << 8)
+        | ((stack[n + 2] & 0xFF) << 16)
+        | (stack[n + 3] << 24)
+    )
+    rows = [stack[:n], pk8[None], stack[n + 4 : n + 6]]
+    if with_nbr:
+        rows.append(stack[n + 6 : n + 7])
+    return jnp.concatenate(rows, axis=0)
 
 
 def unpack_slab(slab, off: int, n: int, from_gcol: int, tabs):

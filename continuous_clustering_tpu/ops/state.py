@@ -224,6 +224,42 @@ def ring_read(arr: jax.Array, lcol0: jax.Array, width: int) -> jax.Array:
     return jnp.where(j < width - over, part_r, head_r)
 
 
+def ring_read_stack(arrs, lcol0: jax.Array, width: int) -> jax.Array:
+    """:func:`ring_read` for MANY same-shape planes at one (lcol0, width),
+    stacked to (len(arrs), R, width) i32, with the wrap correction applied
+    ONCE on the stacked tensor instead of once per field.
+
+    The publish-slab readout reads ~18 ring fields every step; per-field
+    ring_read costs ~5 ops each (two slices, two rolls, a select) and the
+    slab is per-op-overhead-bound on TPU (~0.4 ms/step at W=1024,
+    docs/ROUND4_NOTES.md slab A/B).  Sharing the correction cuts the op
+    count roughly in half.  Non-i32 planes are bitcast (f32/u32) or
+    widened (bool/sub-word ints) to i32."""
+    R, rc = arrs[0].shape
+
+    def as_i32(a):
+        if a.dtype in (jnp.float32, jnp.uint32):
+            return jax.lax.bitcast_convert_type(a, jnp.int32)
+        if a.dtype != jnp.int32:
+            return a.astype(jnp.int32)
+        return a
+
+    if width >= rc:  # trivial ring sizes: per-field general fallback
+        return jnp.stack([as_i32(ring_read(a, lcol0, width)) for a in arrs])
+    over = jnp.maximum(0, lcol0 - (rc - width))
+    s = jnp.minimum(lcol0, rc - width)
+    part = jnp.stack([
+        jax.lax.dynamic_slice(as_i32(a), (0, s), (R, width)) for a in arrs
+    ])
+    head = jnp.stack([
+        jax.lax.slice(as_i32(a), (0, 0), (R, width)) for a in arrs
+    ])
+    part_r = jnp.roll(part, -over, axis=2)
+    head_r = jnp.roll(head, width - over, axis=2)
+    j = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    return jnp.where(j < width - over, part_r, head_r)
+
+
 def ring_write(arr: jax.Array, lcol0: jax.Array, vals: jax.Array) -> jax.Array:
     """Overwrite ``vals.shape[1]`` consecutive ring columns starting at
     ``lcol0`` (mod rc) — the scatter-free analog of :func:`ring_read`.

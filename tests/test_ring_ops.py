@@ -52,3 +52,27 @@ def test_ring_read_write_roundtrip(lcol0):
     written = ring_write(jnp.asarray(arr), jnp.asarray(lcol0), jnp.asarray(vals))
     back = np.asarray(ring_read(written, jnp.asarray(lcol0), 7))
     np.testing.assert_array_equal(back, vals)
+
+
+@pytest.mark.parametrize("lcol0", [0, 2, 3, 9])
+@pytest.mark.parametrize("width", [1, 4, 7, 10])
+def test_ring_read_stack_matches_per_field(lcol0, width):
+    """The stacked multi-plane read (one shared wrap correction) must equal
+    per-field ring_read bit-for-bit across dtypes, including wraps."""
+    from continuous_clustering_tpu.ops.state import ring_read_stack
+    import jax
+
+    rng = np.random.default_rng(lcol0 * 10 + width)
+    f = rng.normal(size=(4, 10)).astype(np.float32)
+    u = rng.integers(0, 2**32, size=(4, 10), dtype=np.uint32)
+    i = rng.integers(-50, 50, size=(4, 10)).astype(np.int32)
+    b = rng.random((4, 10)) < 0.5
+    planes = [jnp.asarray(a) for a in (f, u, i, b)]
+    got = np.asarray(ring_read_stack(planes, jnp.asarray(lcol0), width))
+    for k, p in enumerate(planes):
+        want = ring_read(p, jnp.asarray(lcol0), width)
+        if want.dtype in (jnp.float32, jnp.uint32):
+            want = jax.lax.bitcast_convert_type(want, jnp.int32)
+        else:
+            want = want.astype(jnp.int32)
+        np.testing.assert_array_equal(got[k], np.asarray(want))
