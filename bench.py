@@ -460,6 +460,19 @@ def main():
 
     if not smoke:
         out["link_roundtrip_ms"] = _probe_link_roundtrip_ms()
+    # host context: this container migrates across heterogeneous machines
+    # (1-core boxes have been observed) — the host-stage rates and therefore
+    # the headline min() depend on it, so every banked number carries it
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    out["host_context"] = {"nproc": os.cpu_count(), "cpu": model}
 
     scene_rates = {}
     scene_raw = {}
