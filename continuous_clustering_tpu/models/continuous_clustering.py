@@ -239,7 +239,7 @@ class ContinuousClustering:
         # needs R >= 15 rows to carry the (B, 15) pose matrix in one plane
         R = self._num_rows
         self._merged_buf = None
-        if R is not None and R >= 15 and B >= 8:
+        if R is not None and R >= 15:  # pose lanes need 15 rows (scalars 8)
             def _merged_block_step(state, buf, hsg):
                 from ..ops.ingest import split_merged, unpack_block
 
@@ -277,7 +277,7 @@ class ContinuousClustering:
         # 3-buffer ring guarantees no in-flight buffer is overwritten
         if self._merged_buf is None:
             self._merged_buf = [
-                np.zeros((N_MERGED_PLANES, R, B), np.int32) for _ in range(3)
+                np.zeros((N_MERGED_PLANES, B, R), np.int32) for _ in range(3)
             ]
             self._merged_idx = 0
         buf = self._merged_buf[self._merged_idx]
@@ -286,7 +286,7 @@ class ContinuousClustering:
             first, end, B, self._h_origin_rot, reset, out=buf
         )
         segp = self._seg_poses_packed(trig)  # (B, 15) f32
-        buf[N_BLOCK_FIELDS, :15, :].view(np.float32)[...] = segp.T
+        buf[N_BLOCK_FIELDS, :, :15].view(np.float32)[...] = segp
         buf[N_BLOCK_FIELDS + 1, 0, :N_BLOCK_SCALARS] = scalars
         return buf, int(scalars[1])
 

@@ -22,6 +22,8 @@ from ..config import Config
 from ..ops.ingest import ColumnBlock
 
 TWO_PI = 2.0 * math.pi
+# np.float32 NaN bit pattern (padding for the in-place packed fetch)
+_NAN_BITS = np.float32(np.nan).view(np.int32)
 
 
 class HostInsertion:
@@ -116,35 +118,57 @@ class HostInsertion:
         out: np.ndarray = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fetch columns [first, min(end, first+B)) as packed staging buffers
-        (fields (N_BLOCK_FIELDS, R, B) i32, scalars (N_BLOCK_SCALARS,) i32)
+        (fields (N_BLOCK_FIELDS, B, R) i32, scalars (N_BLOCK_SCALARS,) i32)
         plus the per-column trigger pose array (n, 3, 4).
 
         The packed form stages to device in TWO transfers total; the jitted
-        step rebuilds the ColumnBlock via ``ops.ingest.unpack_block``.
-        ``out`` optionally supplies the fields buffer (>= N_BLOCK_FIELDS
-        leading planes of an (_, R, B) i32 array) so callers building the
-        fully merged single-transfer buffer avoid a copy."""
+        step rebuilds the ColumnBlock via ``ops.ingest.unpack_block`` (which
+        transposes the whole stack once on device — the planes are (B, R),
+        the native engine's natural write order, so no host transposes
+        remain; the previous (R, B) contract cost ~4 ms/revolution of
+        single-core numpy transposes).  ``out`` optionally supplies the
+        fields buffer (>= N_BLOCK_FIELDS leading planes of an (_, B, R)
+        i32 array) so callers building the fully merged single-transfer
+        buffer avoid a copy."""
         from ..ops.ingest import N_BLOCK_FIELDS, N_BLOCK_SCALARS
 
         R = self.R
         n = min(end - first, B) if end > first else 0
-        bufs, stamp, uidxv, inten, pose_idx = self._fetch_columns_np(
-            first, n, B, origin_rot
-        )
         if out is not None:
             fields = out[:N_BLOCK_FIELDS]
-            assert fields.shape == (N_BLOCK_FIELDS, R, B)
+            assert fields.shape == (N_BLOCK_FIELDS, B, R)
             assert fields.dtype == np.int32
         else:
-            fields = np.empty((N_BLOCK_FIELDS, R, B), np.int32)
-        for i, k in enumerate(("x", "y", "z", "dist", "az", "inc", "caz_rel")):
-            fields[i] = bufs[k].view(np.int32).T
-        fields[7] = (stamp & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).T
-        fields[8] = (stamp >> np.uint64(32)).astype(np.uint32).view(np.int32).T
-        fields[9] = (uidxv & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).T
-        fields[10] = (uidxv >> np.uint64(32)).astype(np.uint32).view(np.int32).T
-        fields[11] = inten.T
-        fields[12] = np.maximum(pose_idx, 0)[None, :]
+            fields = np.empty((N_BLOCK_FIELDS, B, R), np.int32)
+        # the native fetch writes the six f32 fields IN PLACE into planes
+        # 0..5 (f32 stores into i32 plane memory: identical bytes); the
+        # remaining planes are transpose-free SIMD copies.  (A full scalar
+        # C++ pack of all 13 planes measured 2.4x SLOWER than this hybrid
+        # on a 1-core box — 13 interleaved scalar store streams lose to
+        # numpy's vectorized plane copies; docs/ROUND4_NOTES.md.)
+        caz = np.full((B, R), np.nan, np.float64)
+        stamp = np.zeros((B, R), np.uint64)
+        uidxv = np.full((B, R), np.iinfo(np.uint64).max, np.uint64)
+        inten = np.zeros((B, R), np.uint8)
+        pose_idx = np.zeros(B, np.int32)
+        if n > 0:
+            self.lib.cct_insertion_fetch_columns(
+                self.handle, first, first + n,
+                *[fields[k].ctypes.data_as(ctypes.c_void_p) for k in range(6)],
+                caz.ctypes.data_as(ctypes.c_void_p),
+                stamp.ctypes.data_as(ctypes.c_void_p),
+                uidxv.ctypes.data_as(ctypes.c_void_p),
+                inten.ctypes.data_as(ctypes.c_void_p),
+                pose_idx.ctypes.data_as(ctypes.c_void_p),
+            )
+        fields[0:6, n:] = _NAN_BITS
+        fields[6] = (caz - TWO_PI * origin_rot).astype(np.float32).view(np.int32)
+        fields[7] = (stamp & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        fields[8] = (stamp >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        fields[9] = (uidxv & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        fields[10] = (uidxv >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        fields[11] = inten
+        fields[12] = np.maximum(pose_idx, 0)[:, None]
         scalars = np.zeros(N_BLOCK_SCALARS, np.int32)
         scalars[0] = first
         scalars[1] = n

@@ -45,10 +45,15 @@ class ColumnBlock(NamedTuple):
     reset_required: jax.Array
 
 
-# packed single-transfer staging: the (R, B) fields of a ColumnBlock as rows
-# of ONE i32 buffer (f32/u32 bitcast), so host->device staging costs two
-# transfers (fields + scalars) instead of ~20 — through a remote TPU link
-# each dispatch pays the round trip, and even on PCIe fewer/larger copies win
+# packed single-transfer staging: the fields of a ColumnBlock as (B, R)
+# planes of ONE i32 buffer (f32/u32 bitcast), so host->device staging costs
+# two transfers (fields + scalars) instead of ~20 — through a remote TPU
+# link each dispatch pays the round trip, and even on PCIe fewer/larger
+# copies win.  The (B, R) plane orientation matches the native engine's
+# cell iteration order, so the host side is ONE contiguous C++ pass
+# (native/src/insertion.cpp fetchPacked — the previous per-field numpy
+# transpose/split chain cost ~4 ms/revolution of single-core host time);
+# the device transposes the whole stack once inside the jitted step.
 BLOCK_F32_FIELDS = ("x", "y", "z", "distance", "azimuth", "inclination",
                     "cont_az")
 BLOCK_U32_FIELDS = ("stamp_lo", "stamp_hi", "uidx_lo", "uidx_hi")
@@ -59,31 +64,35 @@ N_BLOCK_FIELDS = len(BLOCK_F32_FIELDS) + len(BLOCK_U32_FIELDS) + len(BLOCK_I32_F
 N_BLOCK_SCALARS = 8
 
 # fully merged staging (round 4): fields + per-column seg poses + scalars in
-# ONE (N_BLOCK_FIELDS + 2, R, B) i32 buffer = ONE host->device transfer per
+# ONE (N_BLOCK_FIELDS + 2, B, R) i32 buffer = ONE host->device transfer per
 # batch (was three; each pays a link round trip on a remote device).  The
-# extra planes piggyback on the (R, B) geometry: plane N_BLOCK_FIELDS rows
-# 0:15 carry the (B, 15) seg-pose matrix transposed (f32 bitcast), plane
-# N_BLOCK_FIELDS+1 row 0 lanes 0:N_BLOCK_SCALARS carry the scalars.
-# Requires R >= 15 and B >= N_BLOCK_SCALARS (callers fall back otherwise).
+# extra planes piggyback on the (B, R) geometry: plane N_BLOCK_FIELDS
+# lanes 0:15 carry the (B, 15) seg-pose matrix (f32 bitcast), plane
+# N_BLOCK_FIELDS+1 column b=0 lanes 0:N_BLOCK_SCALARS carry the scalars.
+# Requires R >= 15 (callers fall back otherwise).
 N_MERGED_PLANES = N_BLOCK_FIELDS + 2
 
 
 def split_merged(buf: jax.Array):
-    """Inside-jit split of the merged staging buffer: returns
-    (fields, scalars, seg_poses_bt) where seg_poses_bt is (B, 15) f32."""
+    """Inside-jit split of the merged staging buffer ((planes, B, R)):
+    returns (fields, scalars, seg_poses_bt) where seg_poses_bt is
+    (B, 15) f32 and fields stays (N_BLOCK_FIELDS, B, R) for
+    ``unpack_block`` to transpose once."""
     fields = buf[:N_BLOCK_FIELDS]
     segp = jax.lax.bitcast_convert_type(
-        buf[N_BLOCK_FIELDS, :15, :], jnp.float32
-    ).T  # (B, 15)
+        buf[N_BLOCK_FIELDS, :, :15], jnp.float32
+    )  # (B, 15)
     scalars = buf[N_BLOCK_FIELDS + 1, 0, :N_BLOCK_SCALARS]
     return fields, scalars, segp
 
 
 def unpack_block(fields: jax.Array, scalars: jax.Array) -> ColumnBlock:
     """Rebuild a ColumnBlock inside jit from the packed staging buffers
-    (``HostInsertion.fetch_block_packed``): fields (N_BLOCK_FIELDS, R, B)
-    i32, scalars (N_BLOCK_SCALARS,) i32."""
+    (``HostInsertion.fetch_block_packed``): fields (N_BLOCK_FIELDS, B, R)
+    i32 (transposed to (_, R, B) in ONE device op here), scalars
+    (N_BLOCK_SCALARS,) i32."""
     bc = jax.lax.bitcast_convert_type
+    fields = jnp.swapaxes(fields, 1, 2)  # (N_BLOCK_FIELDS, R, B)
     kw = {}
     i = 0
     for name in BLOCK_F32_FIELDS:
