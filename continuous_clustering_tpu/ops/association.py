@@ -132,6 +132,43 @@ def _hscan_min(L: jax.Array, conn: jax.Array) -> jax.Array:
     return jnp.minimum(fwd, bwd)
 
 
+def _vscan_conn(config: Config, bits: jax.Array, R: int, H: int) -> jax.Array:
+    """Per-cell vertical connectivity: conn[r, wc] = a (dr=-1, dc=0) edge
+    exists between window rows r-1 and r at column wc.  The dc=0 plane
+    carries only up (dr<0) edges (the same-column wedge walk goes up only,
+    `_edge_bits` down_edge/dr0_edge masking), so bit V-1 at (r, b) IS the
+    (r-1, r) link; halo columns carry no bits and never join runs."""
+    V = config.clustering.max_steps_in_column
+    dr_idx = V - 1  # dr = -1
+    conn_b = ((bits[0, dr_idx // 32] >> jnp.int32(dr_idx % 32)) & 1) == 1
+    return jnp.concatenate([jnp.zeros((R, H), bool), conn_b], axis=1)
+
+
+def _vscan_min(L: jax.Array, conn: jax.Array) -> jax.Array:
+    """Segmented min along columns: propagate labels through runs of
+    directly vertically-connected (dr=-1, dc=0 edge) same-column rows, both
+    directions, in one log-depth associative scan each (log2(R) ~ 6 steps).
+
+    The column-axis counterpart of `_hscan_min`: pure extra exact
+    min-propagation along real edges, targeting tall components (poles,
+    walls, trunks) whose labels otherwise climb max_steps_in_column rows
+    per sweep."""
+
+    def seg(Lx, start):
+        def op(a, b):
+            sa, va = a
+            sb, vb = b
+            return sa | sb, jnp.where(sb, vb, jnp.minimum(va, vb))
+
+        _, v = jax.lax.associative_scan(op, (start, Lx), axis=0)
+        return v
+
+    fwd = seg(L, ~conn)
+    start_b = ~jnp.roll(conn, -1, axis=0)
+    bwd = jnp.flip(seg(jnp.flip(L, 0), jnp.flip(start_b, 0)), 0)
+    return jnp.minimum(fwd, bwd)
+
+
 def _hscan_after() -> int:
     """CCT_CC_HSCAN: -1 = off; N >= 0 = run the row scan after every sweep
     from round N on (while still unconverged).  Default ON from round 0:
@@ -143,14 +180,43 @@ def _hscan_after() -> int:
     return int(_os.environ.get("CCT_CC_HSCAN", "0"))
 
 
+def _vscan_after() -> int:
+    """CCT_CC_VSCAN: -1 = off (default); N >= 0 = run the column scan after
+    every sweep from round N on.  Off until a TPU battery shows the
+    ~log2(R)-step scan paying for the rounds it saves (CPU rounds probe
+    first, scripts/cc_rounds_probe.py)."""
+    import os as _os
+
+    return int(_os.environ.get("CCT_CC_VSCAN", "-1"))
+
+
 def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
     """(post_fn, post_after) for cc_converge / the Pallas driver, or
-    (None, 0) when CCT_CC_HSCAN is off."""
-    hs = _hscan_after()
-    if hs < 0 or H < 1:  # bits carry no dc=1 plane when the wedge is 0 wide
+    (None, 0) when all post-sweep scans are off.  Combines the row scan
+    (CCT_CC_HSCAN) and column scan (CCT_CC_VSCAN); when both are on the
+    shared application threshold is the earlier of the two."""
+    hs = _hscan_after() if H >= 1 else -1  # no dc=1 plane when wedge is 0 wide
+    vs = _vscan_after()
+    if config.clustering.max_steps_in_column < 1:
+        vs = -1  # no dr=-1 bit when the wedge is 0 tall
+    fns = []
+    if hs >= 0:
+        conn = _hscan_conn(config, bits, R, H)
+        fns.append(lambda L: _hscan_min(L, conn))
+    if vs >= 0:
+        vconn = _vscan_conn(config, bits, R, H)
+        fns.append(lambda L: _vscan_min(L, vconn))
+    if not fns:
         return None, 0
-    conn = _hscan_conn(config, bits, R, H)
-    return (lambda L: _hscan_min(L, conn)), hs
+    if len(fns) == 1:
+        return fns[0], max(hs, vs, 0)
+
+    def post(L):
+        for f in fns:
+            L = f(L)
+        return L
+
+    return post, min(hs, vs)
 
 
 class AssocInputs(NamedTuple):

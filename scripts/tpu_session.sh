@@ -4,31 +4,50 @@
 # Run when the tunnel recovers: bash scripts/tpu_session.sh 2>&1 | tee /tmp/tpu_session.log
 # ONE TPU process at a time (CLAUDE.md measurement rules): this script is
 # strictly sequential; do not run anything else against the chip meanwhile.
+#
+# Round-4 final re-bank queue: the banked BENCH_builder_r4.json predates the
+# transpose-free staging commit (f1bf390, host stage A 6.4 -> 9.2M on 1 core),
+# so its host_insertion=4.32M headline cap is stale.  Re-measure bench +
+# contract with the current tree, plus a kernel-parity smoke.
 set -x
 cd /root/repo
 timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 
-# 1. headline bench, method v2 (one-dispatch periodic scan + differencing,
-#    publish slab included in the device rate, valid overlap measurement)
-timeout 2400 python bench.py > /tmp/bench_r4v2.json 2>/tmp/bench_r4v2.err
-cat /tmp/bench_r4v2.json
+# quiesce gate: never measure while CPU-heavy work runs on this (1-core) box
+# (check-only pgrep, no killing — CLAUDE.md forbids pattern kills)
+for i in $(seq 1 120); do
+  busy=$(pgrep -c -f "pytest|cc_rounds_probe|cmake|ninja" || true)
+  [ "${busy:-0}" -eq 0 ] && break
+  echo "[session] waiting for $busy CPU-heavy processes ($i)"; sleep 30
+done
 
-# 2. one-config contract re-measurement (the banked CONTRACT_r4.json
-#    throughput counted degenerate replayed revolutions — r4 correction #2);
-#    rewrites CONTRACT_r4.json and LATENCY_r4.json in-repo
-timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r4v2.err | tee /tmp/contract_r4v2.out
+# link-health preamble: 5 trivial round trips (healthy ~25-30 ms/RT)
+timeout 180 python - <<'EOF'
+import time, jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "tpu")
+x = jnp.ones((8,))
+jax.block_until_ready(x + 0)
+for i in range(5):
+    t0 = time.perf_counter()
+    jax.block_until_ready(x + i)
+    print(f"RT {i}: {(time.perf_counter()-t0)*1000:.1f} ms")
+EOF
 
-# 3. knob battery re-run with valid measurements (confirm/refute the s1j2
-#    defaults; the original battery's absolute rates were inflated by
-#    degenerate replays, relative ordering probably held)
-timeout 5400 python scripts/tpu_experiments_r4.py 2>/tmp/battery_r4v2.err | tee /tmp/battery_r4v2.out
+# 1. headline bench with the transpose-free staging path (expected: host
+#    insertion no longer binds; headline ~= clutter device rate)
+timeout 2400 python bench.py > /tmp/bench_r4v3.json 2>/tmp/bench_r4v3.err
+cat /tmp/bench_r4v3.json
 
-# 4. kernel parity + step time at current defaults
+# 2. one-config contract at the current tree (rewrites CONTRACT_r4.json and
+#    LATENCY_r4.json in-repo)
+timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r4v3.err | tee /tmp/contract_r4v3.out
+
+# 3. kernel parity + step time at current defaults
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
 
-# 5. fresh per-op device trace (feeds the next optimization pass: the
-#    "everything else ~2.2 ms/step" bucket in docs/ROUND3_NOTES.md)
-PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r4v2.out 2>&1 || true
-tail -60 /tmp/trace_r4v2.out
+# 4. fresh per-op device trace at the shipped defaults (feeds any further
+#    optimization pass this session)
+PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r4v3.out 2>&1 || true
+tail -60 /tmp/trace_r4v3.out

@@ -1,0 +1,68 @@
+"""Segmented vertical min-scan (association._vscan_min): unit brute-force
+equivalence + pipeline agreement with the scan enabled.
+
+The column scan is an optional CC accelerator (CCT_CC_VSCAN): extra exact
+min-propagation along real (dr=-1, dc=0) edges, so every labeling it
+produces must be identical to the plain fixpoint's.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from continuous_clustering_tpu.evaluation.partition import partition_agreement
+from continuous_clustering_tpu.ops.association import _vscan_min
+
+from .test_pipeline import collect_pipeline, make_stream, small_config
+
+
+def _brute(L, conn):
+    """O(n^2) reference: per column, min over the maximal run of consecutive
+    rows connected by conn (conn[r, c] links r-1 and r)."""
+    R, W = L.shape
+    out = L.copy()
+    for c in range(W):
+        start = 0
+        for r in range(R + 1):
+            if r == R or (r > 0 and not conn[r, c]):
+                if r > start:
+                    out[start:r, c] = L[start:r, c].min()
+                start = r
+    return out
+
+
+def test_vscan_min_matches_bruteforce():
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        R = int(rng.integers(2, 70))
+        W = int(rng.integers(1, 9))
+        L = rng.integers(0, 1000, size=(R, W)).astype(np.int32)
+        conn = rng.random((R, W)) < rng.uniform(0.2, 0.9)
+        conn[0, :] = False  # row 0 never links upward (window boundary)
+        got = np.asarray(_vscan_min(jnp.asarray(L), jnp.asarray(conn)))
+        np.testing.assert_array_equal(got, _brute(L, conn))
+
+
+def test_pipeline_agreement_with_vscan(monkeypatch):
+    """Full pipeline with the column scan enabled from round 0 must produce
+    the identical partition (the scan only accelerates convergence)."""
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=1, seed=11)
+
+    l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    monkeypatch.setenv("CCT_CC_VSCAN", "0")
+    l_vs, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    assert len(l_base) > 100
+    assert partition_agreement(l_base, l_vs) == 1.0
+
+
+def test_pipeline_agreement_with_both_scans(monkeypatch):
+    """Row + column scans composed must also leave the partition unchanged."""
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=1, seed=23)
+
+    l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    monkeypatch.setenv("CCT_CC_HSCAN", "0")
+    monkeypatch.setenv("CCT_CC_VSCAN", "0")
+    l_both, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    assert len(l_base) > 100
+    assert partition_agreement(l_base, l_both) == 1.0
