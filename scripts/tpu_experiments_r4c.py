@@ -1,0 +1,103 @@
+"""Round-4c TPU battery: the vertical min-scan (CCT_CC_VSCAN) A/B against
+the shipped defaults.
+
+CPU rounds probe (scripts/cc_rounds_probe.py, 2026-08-19): composing the
+column scan with the row scan cuts mean CC rounds per step
+standard 3.0 -> 2.0, near_field 3.17 -> 2.5 (vscan alone loses: wide
+components need the row scan).  This battery prices the extra
+~log2(R)-step scan per round on the chip.
+
+Method: bench_setup.measure_single_rate (one-dispatch periodic scan per
+knob, session-calibrated fixed-cost subtraction); never replays consumed
+revolutions.
+
+Usage: python scripts/tpu_experiments_r4c.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from continuous_clustering_tpu.tools import bench_setup  # noqa: E402
+
+bench_setup.enable_compile_cache()
+from continuous_clustering_tpu.utils.platform import ensure_backend  # noqa: E402
+
+
+KNOBS = {
+    # shipped defaults (round 4b): one deferred jump + row scan from round 0
+    "hs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+           "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1"},
+    # + column scan from round 0
+    "hsvs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+             "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "0"},
+    # both scans, jump-free: if the scans collapse enough, the jump's
+    # gathers (~8 ms/rev in the r4 trace) can go entirely
+    "hsvsj0": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
+               "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "0"},
+}
+
+
+def main():
+    ensure_backend()
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpu_experiments_r4 import SCENES, link_ms, make_scene_firings
+
+    rt = link_ms()
+    print(json.dumps({"probe": "link_rt_ms", "value": round(rt, 1)}), flush=True)
+    if rt > 80:
+        print(json.dumps({"error": "tunnel degraded", "rt_ms": round(rt, 1)}),
+              flush=True)
+        return 3
+
+    scenes = {}
+    cfg = None
+    for name in SCENES:
+        cfg, pipe = bench_setup.make_bench_pipe(
+            num_rows=64, num_cols=2200, batch=384, nth=1, ring_revs=10
+        )
+        firings, n_points = make_scene_firings(name)
+        scene = bench_setup.capture_revolution(pipe, firings, 2200)
+        scenes[name] = (pipe, scene, n_points)
+
+    pipe0, scene0, n0 = scenes["standard"]
+    cal = bench_setup.measure_periodic_rate(
+        cfg, pipe0, scene0, 2200, n0, N=6, pairs=2
+    )
+    fixed_s = cal["fixed_call_s"]
+    print(json.dumps({
+        "probe": "fixed_call_ms", "value": round(fixed_s * 1000, 1),
+        "diff_ok": cal["diff_ok"], "calibration_pts_per_s": cal["pts_per_s"],
+    }), flush=True)
+
+    for scene_name in scenes:
+        pipe, scene, n_points = scenes[scene_name]
+        for tag, env in KNOBS.items():
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                jax.clear_caches()
+                res = bench_setup.measure_single_rate(
+                    cfg, pipe, scene, 2200, n_points,
+                    N=10, calls=2, fixed_s=fixed_s,
+                )
+                res.update(tag=tag, scene=scene_name)
+                print(json.dumps(res), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"tag": tag, "scene": scene_name,
+                                  "error": str(e)[:160]}), flush=True)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,10 +44,14 @@ cat /tmp/bench_r4v3.json
 #    LATENCY_r4.json in-repo)
 timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r4v3.err | tee /tmp/contract_r4v3.out
 
-# 3. kernel parity + step time at current defaults
+# 3. vscan A/B battery (CPU rounds probe says hs+vs cuts rounds ~20-33%;
+#    this prices the per-round scan cost on the chip)
+timeout 3600 python scripts/tpu_experiments_r4c.py 2>/tmp/battery_r4c.err | tee /tmp/battery_r4c.out
+
+# 4. kernel parity + step time at current defaults
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
 
-# 4. fresh per-op device trace at the shipped defaults (feeds any further
+# 5. fresh per-op device trace at the shipped defaults (feeds any further
 #    optimization pass this session)
 PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r4v3.out 2>&1 || true
 tail -60 /tmp/trace_r4v3.out
