@@ -141,6 +141,9 @@ def _vscan_conn(config: Config, bits: jax.Array, R: int, H: int) -> jax.Array:
     V = config.clustering.max_steps_in_column
     dr_idx = V - 1  # dr = -1
     conn_b = ((bits[0, dr_idx // 32] >> jnp.int32(dr_idx % 32)) & 1) == 1
+    # row 0 can never link upward (wedge walk is image-bounded); enforce it
+    # here because _vscan_min's backward scan wraps row 0 to the last row
+    conn_b = conn_b.at[0].set(False)
     return jnp.concatenate([jnp.zeros((R, H), bool), conn_b], axis=1)
 
 

@@ -4,6 +4,7 @@
 # Run detached:  setsid nohup bash scripts/tpu_watch.sh > /tmp/tpu_watch.log 2>&1 &
 # Stop:          kill $(cat /tmp/tpu_watch.pid)
 # ONE TPU process at a time (CLAUDE.md): do not run pytest/builds meanwhile.
+set -o pipefail  # the session|tee pipeline must report the SESSION's status
 echo $$ > /tmp/tpu_watch.pid
 cd /root/repo
 n=0
@@ -21,9 +22,12 @@ import jax, jax.numpy as jnp, numpy as np
 assert jax.devices()[0].platform == 'tpu', jax.devices()
 print('tunnel OK (confirm)', float(np.asarray(jnp.ones((8,8)).sum())))"; then
     echo "[watch] tunnel up after $n probes; starting session $(date -u +%H:%M:%S)"
-    bash scripts/tpu_session.sh 2>&1 | tee /tmp/tpu_session.log
-    echo "[watch] SESSION DONE $(date -u +%H:%M:%S)"
-    break
+    if bash scripts/tpu_session.sh 2>&1 | tee -a /tmp/tpu_session.log; then
+      echo "[watch] SESSION DONE $(date -u +%H:%M:%S)"
+      break
+    fi
+    # the tunnel flapped mid-session: re-enter the probe loop and retry
+    echo "[watch] session aborted (tunnel flap?); resuming probe loop $(date -u +%H:%M:%S)"
   fi
   sleep 180
 done
