@@ -53,6 +53,19 @@ from ..constants import (
 from .state import RingState, ring_read, ring_write
 
 
+def _gseg_unroll() -> int:
+    """CCT_GSEG_UNROLL: lax.scan unroll factor for the two row scans.
+
+    The scans are R(=64)-iteration sequential loops whose per-iteration
+    body is small; TPU while-loop machinery charges a fixed cost per
+    iteration, so unrolling amortizes it U-fold and lets XLA fuse
+    consecutive rows (exact — unroll changes loop structure, not math).
+    Default 1 until a TPU battery prices it (scripts/tpu_experiments_r4c)."""
+    import os
+
+    return max(1, int(os.environ.get("CCT_GSEG_UNROLL", "1")))
+
+
 class SegmentInputs(NamedTuple):
     """Per-column-batch host-prepared inputs (B columns)."""
 
@@ -289,6 +302,7 @@ def ground_segment_columns(
         init,
         (cell_nan, fog, ego, d, zrel, inc_raw, sc_incl, is_bottom),
         reverse=True,
+        unroll=_gseg_unroll(),
     )
     # scan outputs are stacked in row order (R, B)
 
@@ -312,7 +326,8 @@ def ground_segment_columns(
         return (lab, dbg), None
 
     (labels, debug), _ = jax.lax.scan(
-        backtrack_step, (labels, debug), jnp.arange(R - 1, -1, -1)
+        backtrack_step, (labels, debug), jnp.arange(R - 1, -1, -1),
+        unroll=_gseg_unroll(),
     )
 
     # ---- phase 3: is_ignored flags (…cpp:567-616) ------------------------

@@ -37,6 +37,15 @@ KNOBS = {
     # gathers (~8 ms/rev in the r4 trace) can go entirely
     "hsvsj0": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
                "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "0"},
+    # ground-seg row-scan unroll (ops/ground_segmentation.py _gseg_unroll):
+    # the r4 trace put the big unattributed while ops at ~25 ms/rev; if
+    # that is scan machinery, unrolling amortizes it
+    "hs_u4": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+              "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1",
+              "CCT_GSEG_UNROLL": "4"},
+    "hs_u8": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+              "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1",
+              "CCT_GSEG_UNROLL": "8"},
 }
 
 

@@ -69,17 +69,67 @@ def main():
 
     notes = {}
     try:
+        from collections import Counter
+
         lowered = runner.lower(state, revs[1][0], revs[1][1], hsg)  # type: ignore[attr-defined]
         hlo = lowered.compile().as_text()
+        # per-computation source histogram (to attribute while/cond ops,
+        # whose own HLO line carries no useful metadata, by their BODY)
+        comp_srcs: dict = {}
+        cur = None
         for ln in hlo.splitlines():
-            dm = re.search(r"(%[\w.-]+)\s*=\s*\S+\s+(\w+)\(", ln)
-            if dm and "metadata=" in ln:
+            if ln.rstrip().endswith("{") and ("(" in ln and "->" in ln):
+                cm = re.match(r"\s*%?([\w.-]+)\s*\(", ln)
+                cur = cm.group(1) if cm else None
+                continue
+            if ln.startswith("}"):
+                cur = None
+                continue
+            if cur:
+                fm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', ln)
+                if fm:
+                    comp_srcs.setdefault(cur, Counter())[
+                        f"{os.path.basename(fm.group(1))}:{fm.group(2)}"
+                    ] += 1
+        for ln in hlo.splitlines():
+            # type may be a tuple "(s32[], f32[64]{0})" (spaces inside)
+            dm = re.search(r"(%[\w.-]+)\s*=\s*(?:\([^)]*\)|\S+)\s+(\w+)\(", ln)
+            if not dm:
+                continue
+            key = dm.group(1).lstrip("%")
+            if dm.group(2) == "while":
+                bm = re.search(r"body=%?([\w.-]+)", ln)
+                if bm and bm.group(1) in comp_srcs:
+                    top = comp_srcs[bm.group(1)].most_common(3)
+                    notes.setdefault(
+                        key,
+                        "while[INCLUSIVE] body~ "
+                        + " ".join(f"{s}x{c}" for s, c in top),
+                    )
+                continue
+            if dm.group(2) == "conditional":
+                bs = re.findall(r"branch_computations=\{([^}]*)\}|"
+                                r"(?:true|false)_computation=%?([\w.-]+)", ln)
+                branches = []
+                for a, b in bs:
+                    branches += [x.strip().lstrip("%") for x in a.split(",") if x] if a else [b]
+                tops: Counter = Counter()
+                for br in branches:
+                    tops.update(comp_srcs.get(br, Counter()))
+                if tops:
+                    notes.setdefault(
+                        key,
+                        "cond branches~ "
+                        + " ".join(f"{s}x{c}" for s, c in tops.most_common(3)),
+                    )
+                continue
+            if "metadata=" in ln:
                 sm = re.search(r'op_name="([^"]*)"', ln)
                 fm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', ln)
                 note = sm.group(1)[-70:] if sm else dm.group(2)
                 if fm:
                     note += f" @{os.path.basename(fm.group(1))}:{fm.group(2)}"
-                notes.setdefault(dm.group(1).lstrip("%"), note)
+                notes.setdefault(key, note)
     except Exception as e:  # noqa: BLE001
         print(f"(hlo annotation unavailable: {e})")
 
