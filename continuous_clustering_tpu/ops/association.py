@@ -513,8 +513,12 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
         L2 = sweep_fn(L)
         if post is not None:
             # extra exact min-propagation (e.g. the segmented row scan,
-            # _hscan_min) applied from round ``post_after`` on
-            L2 = jax.lax.cond(it >= post_after, post, lambda l: l, L2)
+            # _hscan_min) applied from round ``post_after`` on; at
+            # post_after=0 the predicate is constant-true, so skip the cond
+            if post_after == 0:
+                L2 = post(L2)
+            else:
+                L2 = jax.lax.cond(it >= post_after, post, lambda l: l, L2)
         L2 = jump(L2)
         return L2, jnp.any(L2 != L), it + 1
 

@@ -264,10 +264,20 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
         changed = d[0, 0] > 0
         if post is not None:
             # segmented row min-scan (association._hscan_min): collapses
-            # wide flat components the sweep would need many rounds for
-            L2 = jax.lax.cond(
-                changed & (it >= post_after), post, lambda l: l, L2
-            )
+            # wide flat components the sweep would need many rounds for.
+            # At post_after=0 the cond gates only on `changed`, and post is
+            # a provable no-op at sweep fixpoint (min-propagation along a
+            # subset of real edges), so the branch machinery buys nothing
+            # but one skipped application in the final round — optionally
+            # apply unconditionally (CCT_CC_POST_NOCOND=1; battery r4c)
+            if post_after == 0 and os.environ.get(
+                "CCT_CC_POST_NOCOND", "0"
+            ) == "1":
+                L2 = post(L2)
+            else:
+                L2 = jax.lax.cond(
+                    changed & (it >= post_after), post, lambda l: l, L2
+                )
         L3 = jax.lax.cond(changed & (it >= jump_after), jump, lambda l: l, L2)
         return L3, changed, it + 1
 

@@ -46,6 +46,12 @@ KNOBS = {
     "hs_u8": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
               "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1",
               "CCT_GSEG_UNROLL": "8"},
+    # post-scan applied without the lax.cond wrapper (provable no-op at
+    # sweep fixpoint; trades one wasted final-round application for the
+    # branch machinery on every round)
+    "hs_nc": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+              "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1",
+              "CCT_CC_POST_NOCOND": "1"},
 }
 
 
