@@ -1,14 +1,18 @@
 #!/bin/bash
-# Bank all queued TPU measurements in order, each bounded, results to stdout
-# and to /tmp/*.json for later banking into the repo.
+# Round-5 TPU measurement queue.  Bank all queued measurements in order,
+# each bounded, results to stdout and to /tmp/*.json for later banking
+# into the repo.
 # Run when the tunnel recovers: bash scripts/tpu_session.sh 2>&1 | tee /tmp/tpu_session.log
 # ONE TPU process at a time (CLAUDE.md measurement rules): this script is
 # strictly sequential; do not run anything else against the chip meanwhile.
 #
-# Round-4 final re-bank queue: the banked BENCH_builder_r4.json predates the
-# transpose-free staging commit (f1bf390, host stage A 6.4 -> 9.2M on 1 core),
-# so its host_insertion=4.32M headline cap is stale.  Re-measure bench +
-# contract with the current tree, plus a kernel-parity smoke.
+# Queue rationale (VERDICT r4 next-round items):
+#   1. The r4c battery prices the vertical min-scan / gseg unroll / nocond
+#      knobs on the chip (item #1) — it runs FIRST because its winner is
+#      applied (via pick_knobs.py) to every subsequent measurement.
+#   2. bench.py re-banks the headline at the winning knobs.
+#   3. contract_r5.py banks the >=5M-AND-<10ms simultaneous point (#2, #3).
+#   4. pallas parity + fresh trace feed the roofline (#6).
 set -x
 cd /root/repo
 timeout 120 python -c "
@@ -41,27 +45,36 @@ EOF
 }
 probe_link || exit 1
 
-# 1. headline bench with the transpose-free staging path (expected: host
-#    insertion no longer binds; headline ~= clutter device rate)
-timeout 2400 python bench.py > /tmp/bench_r4v3.json 2>/tmp/bench_r4v3.err
-cat /tmp/bench_r4v3.json
+# 1. vscan/unroll/nocond A/B battery (CPU rounds probe says hs+vs cuts CC
+#    rounds 21-33%; this prices the per-round scan cost on the chip).
+#    Skipped if already banked this round (tunnel windows are precious).
+if [ ! -s /tmp/battery_r4c.out ] || ! grep -q '"tag"' /tmp/battery_r4c.out; then
+  timeout 3600 python scripts/tpu_experiments_r4c.py 2>/tmp/battery_r4c.err | tee /tmp/battery_r4c.out
+fi
 
-# 2. vscan A/B battery (CPU rounds probe says hs+vs cuts rounds ~20-33%;
-#    this prices the per-round scan cost on the chip) — early in the queue:
-#    it decides whether a defaults flip precedes the final bench/contract
+# 2. apply the battery winner to everything that follows
+eval "$(python scripts/pick_knobs.py /tmp/battery_r4c.out)"
+env | grep CCT_ || true
+
+# 3. headline bench at the winning knobs
 probe_link || exit 1
-timeout 3600 python scripts/tpu_experiments_r4c.py 2>/tmp/battery_r4c.err | tee /tmp/battery_r4c.out
+timeout 2400 python bench.py > /tmp/bench_r5.json 2>/tmp/bench_r5.err
+cat /tmp/bench_r5.json
 
-# 3. one-config contract at the current tree (rewrites CONTRACT_r4.json and
-#    LATENCY_r4.json in-repo)
+# 4. round-5 contract: >=5M throughput AND <10ms loaded local-attach p50
+#    from ONE config (B=128), plus the B=32 low-latency point; writes
+#    CONTRACT_r5.json + LATENCY_r5.json in-repo
 probe_link || exit 1
-timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r4v3.err | tee /tmp/contract_r4v3.out
+if [ -f scripts/contract_r5.py ]; then
+  timeout 3600 python scripts/contract_r5.py 2>/tmp/contract_r5.err | tee /tmp/contract_r5.out
+else
+  timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r5.err | tee /tmp/contract_r5.out
+fi
 
-# 4. kernel parity + step time at current defaults
+# 5. kernel parity + step time at the winning knobs
 probe_link || exit 1
 timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
 
-# 5. fresh per-op device trace at the shipped defaults (feeds any further
-#    optimization pass this session)
-PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r4v3.out 2>&1 || true
-tail -60 /tmp/trace_r4v3.out
+# 6. fresh per-op device trace (feeds the roofline, VERDICT item #6)
+PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r5.out 2>&1 || true
+tail -60 /tmp/trace_r5.out
