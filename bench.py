@@ -138,9 +138,12 @@ def _bench_scan_device(pipe, cfg, firings, n_points_per_rev, num_cols):
         )
         state = res["state"]
         fu = int(np.asarray(state.first_unpublished))
-        # the whole 12N-revolution stream must have really advanced the
-        # frontier (the checksum consumption already forbids dead-coding)
-        assert fu > (12 * N - 3) * num_cols, fu
+        # the whole measured stream must have really advanced the frontier
+        # (the checksum consumption already forbids dead-coding); the
+        # executed revolution count comes from the runner itself so this
+        # does not duplicate measure_periodic_rate's call schedule
+        total_revs = res["k0"] // res["per_rev"]
+        assert fu > (total_revs - 3) * num_cols, (fu, total_revs)
         sys.stderr.write(
             f"device scan: N={N} per_rev={res['per_rev']} "
             f"t1[ms]={res['t1s_ms']} t2[ms]={res['t2s_ms']} "

@@ -195,31 +195,36 @@ def _vscan_after() -> int:
 
 def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
     """(post_fn, post_after) for cc_converge / the Pallas driver, or
-    (None, 0) when all post-sweep scans are off.  Combines the row scan
-    (CCT_CC_HSCAN) and column scan (CCT_CC_VSCAN); when both are on the
-    shared application threshold is the earlier of the two."""
+    (None, 0) when all post-sweep scans are off.  ``post_fn(L, it)``
+    combines the row scan (CCT_CC_HSCAN) and column scan (CCT_CC_VSCAN),
+    each gated on its OWN round threshold so A/B batteries sweeping the
+    thresholds keep per-knob semantics; ``post_after`` is the earliest
+    threshold (callers may skip the whole call before that round)."""
     hs = _hscan_after() if H >= 1 else -1  # no dc=1 plane when wedge is 0 wide
     vs = _vscan_after()
     if config.clustering.max_steps_in_column < 1:
         vs = -1  # no dr=-1 bit when the wedge is 0 tall
-    fns = []
+    entries = []
     if hs >= 0:
         conn = _hscan_conn(config, bits, R, H)
-        fns.append(lambda L: _hscan_min(L, conn))
+        entries.append((hs, lambda L: _hscan_min(L, conn)))
     if vs >= 0:
         vconn = _vscan_conn(config, bits, R, H)
-        fns.append(lambda L: _vscan_min(L, vconn))
-    if not fns:
+        entries.append((vs, lambda L: _vscan_min(L, vconn)))
+    if not entries:
         return None, 0
-    if len(fns) == 1:
-        return fns[0], max(hs, vs, 0)
+    post_after = min(th for th, _ in entries)
 
-    def post(L):
-        for f in fns:
-            L = f(L)
+    def post(L, it):
+        for th, f in entries:
+            if th == post_after:
+                # the caller's outer gate already ensures it >= post_after
+                L = f(L)
+            else:
+                L = jax.lax.cond(it >= th, f, lambda l: l, L)
         return L
 
-    return post, min(hs, vs)
+    return post, post_after
 
 
 class AssocInputs(NamedTuple):
@@ -516,9 +521,11 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
             # _hscan_min) applied from round ``post_after`` on; at
             # post_after=0 the predicate is constant-true, so skip the cond
             if post_after == 0:
-                L2 = post(L2)
+                L2 = post(L2, it)
             else:
-                L2 = jax.lax.cond(it >= post_after, post, lambda l: l, L2)
+                L2 = jax.lax.cond(
+                    it >= post_after, lambda l: post(l, it), lambda l: l, L2
+                )
         L2 = jump(L2)
         return L2, jnp.any(L2 != L), it + 1
 

@@ -273,10 +273,11 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
             if post_after == 0 and os.environ.get(
                 "CCT_CC_POST_NOCOND", "0"
             ) == "1":
-                L2 = post(L2)
+                L2 = post(L2, it)
             else:
                 L2 = jax.lax.cond(
-                    changed & (it >= post_after), post, lambda l: l, L2
+                    changed & (it >= post_after),
+                    lambda l: post(l, it), lambda l: l, L2,
                 )
         L3 = jax.lax.cond(changed & (it >= jump_after), jump, lambda l: l, L2)
         return L3, changed, it + 1

@@ -46,10 +46,16 @@ def test_hscan_min_matches_bruteforce():
 
 def test_pipeline_agreement_with_hscan(monkeypatch):
     """Full pipeline with the row scan enabled from round 0 must produce
-    the identical partition (the scan only accelerates convergence)."""
+    the identical partition (the scan only accelerates convergence).
+
+    The baseline leg forces the scan OFF explicitly: 0 is the shipped
+    default, so an env-default baseline would compare the scan against
+    itself (ADVICE r4)."""
     cfg = small_config(stop_after_association=False)
     firings, poses = make_stream(num_frames=1, seed=11)
 
+    monkeypatch.setenv("CCT_CC_HSCAN", "-1")
+    monkeypatch.setenv("CCT_CC_VSCAN", "-1")
     l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
     monkeypatch.setenv("CCT_CC_HSCAN", "0")
     l_hs, _, _ = collect_pipeline(cfg, firings, poses, batch=48)

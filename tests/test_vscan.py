@@ -44,10 +44,13 @@ def test_vscan_min_matches_bruteforce():
 
 def test_pipeline_agreement_with_vscan(monkeypatch):
     """Full pipeline with the column scan enabled from round 0 must produce
-    the identical partition (the scan only accelerates convergence)."""
+    the identical partition (the scan only accelerates convergence).
+    Both legs force the row scan OFF so the delta is vscan alone."""
     cfg = small_config(stop_after_association=False)
     firings, poses = make_stream(num_frames=1, seed=11)
 
+    monkeypatch.setenv("CCT_CC_HSCAN", "-1")
+    monkeypatch.setenv("CCT_CC_VSCAN", "-1")
     l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
     monkeypatch.setenv("CCT_CC_VSCAN", "0")
     l_vs, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
@@ -56,13 +59,36 @@ def test_pipeline_agreement_with_vscan(monkeypatch):
 
 
 def test_pipeline_agreement_with_both_scans(monkeypatch):
-    """Row + column scans composed must also leave the partition unchanged."""
+    """Row + column scans composed against a scan-free baseline must leave
+    the partition unchanged.  The baseline forces BOTH scans OFF explicitly
+    (CCT_CC_HSCAN=0 is the shipped default, so an env-default baseline
+    would already include the row scan — ADVICE r4)."""
     cfg = small_config(stop_after_association=False)
     firings, poses = make_stream(num_frames=1, seed=23)
 
+    monkeypatch.setenv("CCT_CC_HSCAN", "-1")
+    monkeypatch.setenv("CCT_CC_VSCAN", "-1")
     l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
     monkeypatch.setenv("CCT_CC_HSCAN", "0")
     monkeypatch.setenv("CCT_CC_VSCAN", "0")
     l_both, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
     assert len(l_base) > 100
     assert partition_agreement(l_base, l_both) == 1.0
+
+
+def test_pipeline_agreement_with_staggered_thresholds(monkeypatch):
+    """Different per-scan thresholds (hs from round 0, vs from round 2)
+    exercise the per-fn lax.cond gating inside the combined post
+    (association._hscan_post) — each scan must apply from its OWN round
+    and the partition must still be exact."""
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=1, seed=23)
+
+    monkeypatch.setenv("CCT_CC_HSCAN", "-1")
+    monkeypatch.setenv("CCT_CC_VSCAN", "-1")
+    l_base, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    monkeypatch.setenv("CCT_CC_HSCAN", "0")
+    monkeypatch.setenv("CCT_CC_VSCAN", "2")
+    l_st, _, _ = collect_pipeline(cfg, firings, poses, batch=48)
+    assert len(l_base) > 100
+    assert partition_agreement(l_base, l_st) == 1.0
