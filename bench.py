@@ -544,11 +544,25 @@ def main():
 
     # headline = min over {device on EVERY scene, host stages}: a clutter-
     # heavy street must sustain the rate too (VERDICT r3 item 1)
-    stage_rates = list(scene_rates.values())
+    named_rates = {f"device:{k}": v for k, v in scene_rates.items()}
     for k in ("host_insertion_pts_per_s", "host_emit_pts_per_s"):
         if k in out:
-            stage_rates.append(out[k])
-    headline = min(stage_rates)
+            named_rates[k.replace("_pts_per_s", "")] = out[k]
+    headline = min(named_rates.values())
+    binding = min(named_rates, key=named_rates.get)
+    # guard against a weak/loaded host masquerading as a device slowdown
+    # (the container migrates across heterogeneous machines, ROUND4_NOTES):
+    # name the binding stage and how far the device alone could go
+    device_min = min(scene_rates.values())
+    out["binding_stage"] = binding
+    if not binding.startswith("device:"):
+        out["binding_note"] = (
+            f"HOST stage '{binding}' binds the headline at "
+            f"{named_rates[binding]/1e6:.2f}M; the device alone sustains "
+            f"{device_min/1e6:.2f}M — check host_context before reading "
+            "this as a device regression"
+        )
+        sys.stderr.write(out["binding_note"] + "\n")
     if platform == "cpu" and not smoke:
         # the accelerator was unreachable (wedged tunnel): the number below
         # is a CPU fallback, NOT the TPU rate — flag it unmistakably

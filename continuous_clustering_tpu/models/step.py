@@ -156,13 +156,17 @@ def pipeline_step_block(
     profile_cut: str = "",
     slab_cols: int = 0,
     slab_head: int = 0,
+    ring_capacity: int | None = None,
+    skip_clear: bool = False,
 ):
     """Host-insertion variant: ingest a dense finished-column block, then
     segmentation + association + completion (no insertion scan).
 
     ``profile_cut`` (profiling only) truncates the program after the named
     stage: "ingest", "seg", or an association cut ("bits"/"cc"/"union"/
-    "completion").
+    "completion").  ``ring_capacity``/``skip_clear`` support running this
+    step on the halo path's window-sized scratch ring (parallel/halo.py;
+    see ops.association.associate_and_complete).
     """
     from ..ops.ingest import ingest_columns
 
@@ -205,6 +209,7 @@ def pipeline_step_block(
     cres: CompleteResult = associate_and_complete(
         config, state, AssocInputs(gcol0=block.gcol0, n_cols=block.n_cols), batch_cols,
         profile_cut=profile_cut,
+        ring_capacity=ring_capacity, skip_clear=skip_clear,
     )
     state = cres.state
     slab, slab_ext = _publish_slab(config, state, cres.fu_old, slab_cols, slab_head)

@@ -52,7 +52,8 @@ _TWO_PI = 6.2831853071795864769
 def make_periodic_block_scan_runner(config: Config, batch_cols: int,
                                     num_cols: int, n_steps: int,
                                     slab_cols: int = 0, slab_head: int = 0,
-                                    reduce_infos: bool = True):
+                                    reduce_infos: bool = True,
+                                    rebase_every: int = 64):
     """Benchmark runner: scan ``n_steps`` pipeline steps over a PERIODIC
     one-revolution block stack resident on device.
 
@@ -84,19 +85,53 @@ def make_periodic_block_scan_runner(config: Config, batch_cols: int,
     where ``blocks0``/``seg_poses0`` carry one revolution (per_rev leading
     dim) and ``k0`` is the global step index the scan starts at (pass the
     running total so consecutive calls continue one coherent stream).
-    Azimuth precision bounds the usable stream length: production rebases
-    the azimuth origin, this runner does not, so keep the total below ~300
-    revolutions (cont_az < ~2000 rad keeps the f32 error well under a
-    column spacing)."""
+
+    Azimuth rebase: production keeps f32 azimuths small by shifting the
+    origin every few hundred rotations (``ops.state.rebase_azimuth``); the
+    scan body applies the same shift on device every ``rebase_every``
+    revolutions (a lax.cond taken once per ``rebase_every`` revs), so a
+    soak of ANY length stays inside f32 precision.  The replayed block's
+    azimuth offset is then ``(rev - rebases_applied) * 2*pi`` — its
+    azimuths stay expressed relative to the state's CURRENT origin.
+    ``rebase_every=0`` disables (the pre-round-5 behavior, valid to ~300
+    revolutions only; tests/test_throughput_runner.py pins the rebased
+    and unrebased streams produce identical results inside that window)."""
+    from ..ops.state import rebase_azimuth
     from .step import pipeline_step_block
 
     def run(state: RingState, blocks0, seg_poses0, hsg, k0):
         per_rev = jax.tree_util.tree_leaves(blocks0)[0].shape[0]
+        # The captured blocks' azimuths are relative to the CAPTURE-time
+        # origin.  Rebases apply deterministically — by revolution rev the
+        # scan has shifted the origin by rebase_every*(rev // rebase_every)
+        # rotations — so the capture origin is recoverable from (state, k0)
+        # even on continuation calls (k0 > 0, same rebase_every).
+        if rebase_every:
+            rev0 = k0 // per_rev
+            capture_origin = state.origin_rot - rebase_every * (
+                rev0 // rebase_every
+            )
 
         def body(s, i):
             k = k0 + i
             rev = k // per_rev
             j = k % per_rev
+            if rebase_every:
+                # once a new rebase_every boundary is crossed, shift every
+                # stored azimuth down by rebase_every whole rotations
+                # (exactly production's rebase) so cont_az stays below
+                # ~(rebase_every + live window)*2*pi
+                needed = rebase_every * (rev // rebase_every)
+                applied = s.origin_rot - capture_origin
+                s = jax.lax.cond(
+                    applied < needed,
+                    lambda st: rebase_azimuth(st, rebase_every)[0],
+                    lambda st: st,
+                    s,
+                )
+                az_rev = (rev - needed).astype(jnp.float32)
+            else:
+                az_rev = rev.astype(jnp.float32)
             pick = lambda a: jax.lax.dynamic_index_in_dim(
                 a, j, 0, keepdims=False
             )
@@ -107,8 +142,7 @@ def make_periodic_block_scan_runner(config: Config, batch_cols: int,
             shift = lambda v: jnp.where(v >= 0, v + off, v)
             b = b._replace(
                 gcol0=b.gcol0 + off,
-                cont_az=b.cont_az
-                + rev.astype(jnp.float32) * jnp.float32(_TWO_PI),
+                cont_az=b.cont_az + az_rev * jnp.float32(_TWO_PI),
                 prev_rearmost=shift(b.prev_rearmost),
                 prev_foremost=shift(b.prev_foremost),
                 first_unfinished=shift(b.first_unfinished),

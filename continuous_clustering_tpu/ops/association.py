@@ -791,6 +791,8 @@ def _cut_result(state: RingState, fu_old: jax.Array, tensors) -> CompleteResult:
 def associate_and_complete(
     config: Config, state: RingState, inputs: AssocInputs, batch_size: int,
     profile_cut: str = "",
+    ring_capacity: int | None = None,
+    skip_clear: bool = False,
 ) -> CompleteResult:
     """Run association (CC update) and completion for a column batch.
 
@@ -801,6 +803,15 @@ def associate_and_complete(
     ring or live-window scale — on TPU, gathers/scatters cost ~linear in
     their index count, so keeping the irregular ops at 16k/8k scale instead
     of 225k is worth ~4 ms per batch (scripts/microbench_ops.py).
+
+    ``ring_capacity``/``skip_clear`` support the column-sharded halo path
+    (parallel/halo.py), which runs this op on a small window-sized scratch
+    ring: ``ring_capacity`` overrides the REAL ring capacity used by the
+    overflow check (the scratch's own width would trip it constantly), and
+    ``skip_clear`` advances the clear bookkeeping without touching cells
+    (the wrapper applies the identical gcol-gated clear to the real
+    sharded ring; clear columns live a rotation behind the window, outside
+    the scratch).
     """
     cl = config.clustering
     H, V = cl.max_steps_in_row, cl.max_steps_in_column
@@ -1417,9 +1428,10 @@ def associate_and_complete(
     # reused cell to be actually CLEARED (ring_start bound): a published but
     # not-yet-cleared cell still holds a finite distance that would silently
     # pollute the reusing column's occupancy checks during ingest.
+    rcap = ring_capacity if ring_capacity is not None else rc
     window_overflow = has_data & (
-        (newest_gcol - rc >= fu_old)
-        | ((ring_start_old >= 0) & (newest_gcol - rc >= ring_start_old))
+        (newest_gcol - rcap >= fu_old)
+        | ((ring_start_old >= 0) & (newest_gcol - rcap >= ring_start_old))
     )
     # CC non-convergence (64-round cap hit with labels still changing) must be
     # loud, but it is a labeling-correctness failure, not a ring/throughput
@@ -1455,6 +1467,13 @@ def associate_and_complete(
         # perf probe: skip the chunk clear (ring fills with stale cells)
         cleared_to = jnp.minimum(ring_start_old + jnp.minimum(
             jnp.maximum(clear_target_new, 0), 0), ring_start_old)
+    elif skip_clear:
+        # halo path: advance the bookkeeping exactly as clear_columns_chunk
+        # would; the caller clears [ring_start_old, cleared_to) on the real
+        # sharded ring with the same gcol gate
+        cleared_to = ring_start_old + jnp.clip(
+            clear_target_new - ring_start_old, 0, B
+        )
     else:
         state, cleared_to = clear_columns_chunk(
             state, ring_start_old, clear_target_new, B
