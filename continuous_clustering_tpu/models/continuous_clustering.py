@@ -193,6 +193,34 @@ class ContinuousClustering:
             self._slab_W1 = min(w1_env, self._slab_W)
         else:
             self._slab_W1 = self._slab_W // 2
+        # adaptive head (VERDICT r4 missing #3): the static auto head can
+        # undershoot the streamed publish-window widths (measured head hit
+        # rate 0.57 with p95 width 161 vs head 64 at B=32) — every miss
+        # pays the tail transfer.  When enabled, _consume_info tracks the
+        # streamed width distribution and GROWS the head to cover its p95
+        # once the hit rate drops below the target (one re-jit per growth,
+        # grow-only, capped at the slab width).
+        self._slab_adapt = (
+            os.environ.get("CCT_SLAB_ADAPT", "1") == "1"
+            and self._slab_W > 0 and w1_env <= 0
+        )
+        self._slab_hit_target = float(
+            os.environ.get("CCT_SLAB_HIT_TARGET", "0.9")
+        )
+        self._recent_widths = []
+        # optional transfer clock: when a float, _consume_info/_fetch_slab
+        # accumulate the device->host transfer seconds they pay (the
+        # loaded-latency soak decomposes measured wall time into link
+        # transfer vs host grouping; scripts/latency_model.py)
+        self._transfer_s = None
+        self._build_jit_steps()
+
+    def _build_jit_steps(self):
+        """(Re)build the jitted step closures at the current slab widths.
+        Called once at init and again when the adaptive head grows."""
+        import jax
+
+        cfg = self._config
         self._jit_step = jax.jit(
             partial(
                 pipeline_step, cfg, batch_cols=self._batch_B,
@@ -546,7 +574,14 @@ class ContinuousClustering:
 
         # ONE device->host transfer for all per-step scalars (through a
         # remote link each int(...) conversion pays a round trip)
-        m = np.asarray(info.meta)
+        if self._transfer_s is not None:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            m = np.asarray(info.meta)
+            self._transfer_s += _time.perf_counter() - _t0
+        else:
+            m = np.asarray(info.meta)
         if bool(m[META_RESET]):
             self._reset_required = True
             return 0
@@ -581,6 +616,29 @@ class ContinuousClustering:
         num_new = int(m[META_NUM_NEW])
         self._h_cluster_counter = counter_old + num_new
         self._h_first_unpublished = fu_new
+
+        # adaptive slab head: track streamed publish-window widths; when the
+        # head-hit rate over the recent window falls below the target, grow
+        # the head to cover the distribution's p95 (one re-jit, grow-only)
+        if self._slab_adapt and fu_old >= 0:
+            width = max(gcol0 + n_cols, fu_new) - fu_old
+            ws = self._recent_widths
+            ws.append(width)
+            if len(ws) >= 64:
+                hits = sum(1 for v in ws if v <= self._slab_W1)
+                if hits < self._slab_hit_target * len(ws):
+                    p95 = sorted(ws)[int(0.95 * len(ws))]
+                    new_w1 = min(self._slab_W, max(
+                        self._slab_W1 * 2, 1 << (p95 + 15).bit_length()
+                    ))
+                    if new_w1 > self._slab_W1:
+                        self._slab_W1 = new_w1
+                        self._build_jit_steps()
+                    else:
+                        self._slab_adapt = False  # head already at the cap
+                    del ws[:]
+                elif len(ws) >= 512:
+                    del ws[: len(ws) - 256]
 
         # cache this step's publish slab: all readout below (ground columns,
         # published columns, cluster emission) is served from it as long as
@@ -717,12 +775,19 @@ class ContinuousClustering:
                 need = from_gcol - lo + n
                 w1 = head.shape[2]
                 if self._slab_np is None or self._slab_np.shape[2] < need:
+                    _t0 = None
+                    if self._transfer_s is not None:
+                        import time as _time
+
+                        _t0 = _time.perf_counter()
                     if need <= w1:
                         self._slab_np = np.asarray(head)
                     else:
                         self._slab_np = np.concatenate(
                             [np.asarray(head), np.asarray(tail)], axis=2
                         )
+                    if _t0 is not None:
+                        self._transfer_s += _time.perf_counter() - _t0
                 return self._slab_np, from_gcol - lo, tabs
 
         rc = self._state.ring_cols

@@ -56,6 +56,25 @@ from ..ops.ingest import ColumnBlock
 from ..ops.state import CELL_FIELDS, CLEAR_VALUES, RingState
 
 
+def compat_shard_map(body, mesh, in_specs, out_specs):
+    """shard_map across jax versions: jax.shard_map(check_vma=) in >=0.8,
+    jax.experimental.shard_map.shard_map(check_rep=) before.  Replication
+    checking is off either way: the body provably produces replicated
+    non-ring outputs (they descend from psum results and replicated
+    inputs), but the static checker cannot see through the dataclass
+    reconstruction."""
+    try:
+        from jax import shard_map as sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except TypeError:
+        return sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def _to_i32(arr: jax.Array) -> jax.Array:
     if arr.dtype == jnp.int32:
         return arr
@@ -185,8 +204,6 @@ def make_halo_sharded_step(config: Config, mesh: Mesh, batch_cols: int,
     ``stacked`` adds a leading sensor axis sharded over dp (the
     multi-sensor deployment), vmapping the per-stream body.
     """
-    from jax.experimental.shard_map import shard_map
-
     nsp = mesh.shape["sp"]
     body = partial(
         halo_step_local, config, batch_cols=batch_cols, nsp=nsp
@@ -199,8 +216,8 @@ def make_halo_sharded_step(config: Config, mesh: Mesh, batch_cols: int,
     def run(state: RingState, block: ColumnBlock, segp: SegPoses, hsg):
         nonlocal jit_step
         if jit_step is None:
-            sm = shard_map(
-                body, mesh=mesh,
+            sm = compat_shard_map(
+                body, mesh,
                 in_specs=(
                     _state_specs(state, stacked),
                     _repl_specs(block, stacked),
@@ -211,7 +228,6 @@ def make_halo_sharded_step(config: Config, mesh: Mesh, batch_cols: int,
                     _state_specs(state, stacked),
                     _repl_specs_info(stacked),
                 ),
-                check_rep=False,
             )
             jit_step = jax.jit(sm, donate_argnums=(0,))
         return jit_step(state, block, segp, hsg)

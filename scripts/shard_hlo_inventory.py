@@ -33,6 +33,100 @@ COLLECTIVES = (
 )
 
 
+def count_collectives(hlo: str):
+    counts = {}
+    bytes_per = {}
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    for line in hlo.splitlines():
+        s = line.strip()
+        for c in COLLECTIVES:
+            if re.search(rf"= \S+ {c}\(", s) or re.search(rf"{c}(-start)?\(", s):
+                if f"{c}-done" in s:
+                    continue
+                counts[c] = counts.get(c, 0) + 1
+                sm = shape_re.search(s.split("=")[1] if "=" in s else s)
+                if sm and sm.group(2):
+                    n = 1
+                    for d in sm.group(2).split(","):
+                        n *= int(d)
+                    dt = sm.group(1)
+                    width = 4 if dt in ("f32", "s32", "u32") else (
+                        1 if dt in ("pred", "s8", "u8") else 8)
+                    bytes_per[c] = bytes_per.get(c, 0) + n * width
+                break
+    return counts, bytes_per
+
+
+def _zero_block_and_poses(R, B):
+    import jax.numpy as jnp
+
+    from continuous_clustering_tpu.models.step import SegPoses
+    from continuous_clustering_tpu.ops.ingest import ColumnBlock
+
+    z = lambda *shape: jnp.zeros(shape, jnp.float32)
+    zi = lambda *shape: jnp.zeros(shape, jnp.int32)
+    zu = lambda *shape: jnp.zeros(shape, jnp.uint32)
+    blk = ColumnBlock(
+        gcol0=jnp.int32(0), n_cols=jnp.int32(0),
+        x=z(R, B), y=z(R, B), z=z(R, B), distance=z(R, B),
+        azimuth=z(R, B), inclination=z(R, B), cont_az=z(R, B),
+        stamp_lo=zu(R, B), stamp_hi=zu(R, B),
+        uidx_lo=zu(R, B), uidx_hi=zu(R, B),
+        intensity=zi(R, B), firing_index=zi(R, B),
+        prev_rearmost=jnp.int32(-1), prev_foremost=jnp.int32(-1),
+        first_unfinished=jnp.int32(-1), first_unpublished_init=jnp.int32(-1),
+        reset_required=jnp.asarray(False),
+    )
+    segp = SegPoses(
+        sensor_pos=z(B, 3),
+        ego_rot=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3)),
+        ego_trans=z(B, 3),
+    )
+    return blk, segp
+
+
+def halo_hlo(cfg, rows, batch, sp):
+    """Compile the shard_map halo step on a (1, sp) mesh; return HLO."""
+    from jax.sharding import Mesh
+
+    from continuous_clustering_tpu.models.continuous_clustering import (
+        ContinuousClustering,
+    )
+    from continuous_clustering_tpu.parallel import halo
+
+    pipe = ContinuousClustering(cfg, firing_batch_size=batch)
+    pipe.reset(rows)
+    pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+    devs = np.array(jax.devices()[:sp]).reshape(1, sp)
+    mesh = Mesh(devs, axis_names=("dp", "sp"))
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding
+
+    B = pipe._batch_B
+    blk, segp = _zero_block_and_poses(rows, B)
+    hsg = jnp.float32(-1.5)
+    state = halo.place_state(mesh, pipe.state)
+    from functools import partial
+
+    body = partial(halo.halo_step_local, cfg, batch_cols=B, nsp=sp)
+    sm = halo.compat_shard_map(
+        body, mesh,
+        in_specs=(
+            halo._state_specs(state, False),
+            halo._repl_specs(blk, False),
+            halo._repl_specs(segp, False),
+            halo._repl_specs(hsg, False),
+        ),
+        out_specs=(
+            halo._state_specs(state, False),
+            halo._repl_specs_info(False),
+        ),
+    )
+    jit_step = jax.jit(sm, donate_argnums=(0,))
+    return jit_step.lower(state, blk, segp, hsg).compile().as_text()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=64)
@@ -40,6 +134,10 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--dp", type=int, default=2)
     ap.add_argument("--sp", type=int, default=4)
+    ap.add_argument("--path", choices=["gspmd", "halo", "both"],
+                    default="both")
+    ap.add_argument("--json", default="",
+                    help="also write the counts to this JSON file")
     args = ap.parse_args()
 
     import continuous_clustering_tpu as cct
@@ -85,57 +183,55 @@ def main():
     def bshard(leaf):
         return NamedSharding(mesh, P("dp", *([None] * (np.ndim(leaf) - 1))))
 
-    jit_step = jax.jit(
-        vstep,
-        in_shardings=(
-            jax.tree_util.tree_map(ss, state),
-            jax.tree_util.tree_map(bshard, sbatch),
-            jax.tree_util.tree_map(bshard, scalib),
-        ),
-        out_shardings=(jax.tree_util.tree_map(ss, state), None),
-    )
-    compiled = jit_step.lower(state, sbatch, scalib).compile()
-    hlo = compiled.as_text()
+    results = {}
 
-    counts = {}
-    bytes_per = {}
-    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
-    for line in hlo.splitlines():
-        s = line.strip()
-        m = re.match(r"%?\S+ = (\S+) (all-gather|all-reduce|collective-permute|"
-                     r"reduce-scatter|all-to-all|collective-broadcast)", s)
-        if not m:
-            # ops appear as: %name = type[shape] op-name(...)
-            for c in COLLECTIVES:
-                if re.search(rf"= \S+ {c}\(", s) or re.search(rf"{c}(-start)?\(", s):
-                    if f"{c}-done" in s:
-                        continue
-                    counts[c] = counts.get(c, 0) + 1
-                    sm = shape_re.search(s.split("=")[1] if "=" in s else s)
-                    if sm and sm.group(2):
-                        n = 1
-                        for d in sm.group(2).split(","):
-                            n *= int(d)
-                        dt = sm.group(1)
-                        width = 4 if dt in ("f32", "s32", "u32") else (
-                            1 if dt in ("pred", "s8", "u8") else 8)
-                        bytes_per[c] = bytes_per.get(c, 0) + n * width
-                    break
-            continue
+    if args.path in ("gspmd", "both"):
+        jit_step = jax.jit(
+            vstep,
+            in_shardings=(
+                jax.tree_util.tree_map(ss, state),
+                jax.tree_util.tree_map(bshard, sbatch),
+                jax.tree_util.tree_map(bshard, scalib),
+            ),
+            out_shardings=(jax.tree_util.tree_map(ss, state), None),
+        )
+        hlo = jit_step.lower(state, sbatch, scalib).compile().as_text()
+        results["gspmd"] = (count_collectives(hlo), hlo.count(" while("),
+                            len(hlo.splitlines()))
 
-    n_while = hlo.count(" while(")
-    print(f"# sharded-step HLO inventory (rows={args.rows} cols={args.cols} "
-          f"B={args.batch} mesh dp={args.dp} x sp={args.sp})")
-    total = 0
-    for c in COLLECTIVES:
-        if c in counts:
-            mb = bytes_per.get(c, 0) / 1e6
-            print(f"  {c:22s} x{counts[c]:<4d} ~{mb:.2f} MB operand bytes")
-            total += counts[c]
-    if total == 0:
-        print("  NO collectives in the optimized HLO — the partition is "
-              "communication-free at steady state")
-    print(f"  while loops: {n_while}; HLO lines: {len(hlo.splitlines())}")
+    if args.path in ("halo", "both"):
+        hlo = halo_hlo(cfg, args.rows, args.batch, args.sp)
+        results["halo"] = (count_collectives(hlo), hlo.count(" while("),
+                           len(hlo.splitlines()))
+
+    summary = {"rows": args.rows, "cols": args.cols, "batch": args.batch,
+               "dp": args.dp, "sp": args.sp, "paths": {}}
+    for path, ((counts, bytes_per), n_while, n_lines) in results.items():
+        print(f"# {path} sharded-step HLO inventory (rows={args.rows} "
+              f"cols={args.cols} B={args.batch} mesh dp={args.dp} x "
+              f"sp={args.sp})")
+        total = 0
+        prow = {}
+        for c in COLLECTIVES:
+            if c in counts:
+                mb = bytes_per.get(c, 0) / 1e6
+                print(f"  {c:22s} x{counts[c]:<4d} ~{mb:.2f} MB operand bytes")
+                total += counts[c]
+                prow[c] = {"count": counts[c], "mb": round(mb, 3)}
+        if total == 0:
+            print("  NO collectives in the optimized HLO — the partition is "
+                  "communication-free at steady state")
+        print(f"  while loops: {n_while}; HLO lines: {n_lines}")
+        summary["paths"][path] = {
+            "collectives": prow, "total_collectives": total,
+            "while_loops": n_while, "hlo_lines": n_lines,
+        }
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

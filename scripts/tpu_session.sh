@@ -15,6 +15,10 @@
 #   4. pallas parity + fresh trace feed the roofline (#6).
 set -x
 cd /root/repo
+# lockfile: heavy CPU work (tests, builds) must not run while a measurement
+# session is active on this 1-core box (CLAUDE.md measurement rules)
+touch /tmp/tpu_session.active
+trap 'rm -f /tmp/tpu_session.active' EXIT
 timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
@@ -78,3 +82,8 @@ timeout 1500 python scripts/pallas_validate.py 2>&1 | grep -E "ms/step|match"
 # 6. fresh per-op device trace (feeds the roofline, VERDICT item #6)
 PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python timeout 1200 python scripts/trace_table.py > /tmp/trace_r5.out 2>&1 || true
 tail -60 /tmp/trace_r5.out
+
+# 7. HBM roofline with the TPU compiler's own cost model (bytes/point vs
+#    819 GB/s), using the freshly-banked bench rate
+rate=$(python -c "import json;print(json.load(open('/tmp/bench_r5.json'))['value'])" 2>/dev/null || echo 0)
+timeout 1200 python scripts/roofline.py --rate "${rate:-0}" --json ROOFLINE_r5.json || true

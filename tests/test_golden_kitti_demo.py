@@ -47,6 +47,7 @@ def metric_lines(text: str):
     return [l for l in text.splitlines() if l.startswith("|")]
 
 
+@pytest.mark.slow
 def test_kitti_demo_tables_match_reference(tmp_path):
     """Identical evaluation tables vs the compiled reference kitti_demo over
     TWO synthetic 64x2200 sequences (50 + 30 frames, distinct scene

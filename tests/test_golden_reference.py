@@ -231,6 +231,7 @@ def test_python_oracle_matches_compiled_reference(harness, tmp_path):
     assert agreement >= 1.0, f"oracle partition agreement: {agreement}"
 
 
+@pytest.mark.slow
 def test_pipeline_matches_reference_kitti_scale_fog(harness, tmp_path):
     """Reference-shape golden: 64x2200, three revolutions crossing our ring
     seam, translating sensor, fog filtering enabled (reference fog rules,

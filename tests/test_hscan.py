@@ -7,6 +7,7 @@ produces must be identical to the plain fixpoint's.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def _brute(L, conn):
     return out
 
 
+@pytest.mark.slow
 def test_hscan_min_matches_bruteforce():
     rng = np.random.default_rng(7)
     for _ in range(20):

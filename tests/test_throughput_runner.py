@@ -1,6 +1,7 @@
 """Scanned multi-batch runner matches per-batch stepping."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -212,6 +213,7 @@ def test_periodic_runner_rebase_matches_unrebased():
     np.testing.assert_array_equal(cell_ids(s_base), cell_ids(s_reb))
 
 
+@pytest.mark.slow
 def test_periodic_runner_1000_rev_soak():
     """VERDICT r4 item 10: a 1000-revolution soak (3x past the unrebased
     f32 validity bound) stays healthy with the in-scan rebase: frontier

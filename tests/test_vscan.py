@@ -7,6 +7,7 @@ produces must be identical to the plain fixpoint's.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from continuous_clustering_tpu.evaluation.partition import partition_agreement
@@ -30,6 +31,7 @@ def _brute(L, conn):
     return out
 
 
+@pytest.mark.slow
 def test_vscan_min_matches_bruteforce():
     rng = np.random.default_rng(13)
     for _ in range(20):
