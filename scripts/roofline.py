@@ -54,14 +54,23 @@ def main():
                     help="occupied-cell fraction of the bench scenes "
                          "(points per step = fill * R * B)")
     ap.add_argument("--json", default="")
+    ap.add_argument("--platform", default="cpu",
+                    help="compiler to cost with (cpu default: the byte "
+                         "counts are dominated by explicit array traffic "
+                         "and platform-close; tpu uses the chipless AOT "
+                         "helper, which can 500 on large programs)")
     args = ap.parse_args()
 
-    from continuous_clustering_tpu.utils.platform import ensure_backend
-
-    ensure_backend()
     import jax
 
-    platform = jax.devices()[0].platform
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
+    else:
+        from continuous_clustering_tpu.utils.platform import ensure_backend
+
+        ensure_backend()
+        platform = jax.devices()[0].platform
 
     import continuous_clustering_tpu as cct
     from continuous_clustering_tpu.models.continuous_clustering import (
@@ -123,8 +132,36 @@ def main():
         if r["cut"] == "cc":
             cc_extra = max(0.0, (args.cc_rounds - 1.0)) * r["bytes_marginal"]
     adj_bytes = full_bytes + cc_extra
+
+    # ---- analytic post-fusion bytes model (the primary number) --------
+    # cost_analysis counts every producer/consumer pair UNFUSED (the
+    # vectorized edge-bits intermediates alone are GBs that XLA:TPU never
+    # materializes), so it is only an upper envelope.  The explicit model
+    # below counts the arrays that MUST move through HBM: ring-window
+    # read-modify-writes, the edge bitmask, the CC label plane per round,
+    # the publish slab, and the clear chunk.  Constants are shapes, 4 B
+    # each, x2 for read-modify-write where applicable.
+    R = args.rows
+    H = cfg.clustering.max_steps_in_row
+    WCOL = H + B
+    w_cells = R * B
+    analytic = {
+        "ingest (14 fields RMW)": 14 * w_cells * 4 * 2,
+        "ground seg (read 7 + write 4)": 11 * w_cells * 4,
+        "edge bits (mask write+read + window reads)":
+            (H + 1) * 2 * w_cells * 4 * 2 + 8 * R * WCOL * 4,
+        f"cc fixpoint ({args.cc_rounds} rounds x (bits read + labels RMW))":
+            args.cc_rounds * ((H + 1) * 2 * w_cells * 4 + R * WCOL * 4 * 2),
+        "slot scatters/tables (K + window)":
+            6 * 8192 * 4 * 2 + 4 * w_cells * 4,
+        "publish slab (15 rows write + 18 source planes)":
+            15 * R * pipe._slab_W * 4 + 18 * R * pipe._slab_W * 4,
+        "clear chunk (20 fields RMW)": 20 * w_cells * 4 * 2,
+    }
+    analytic_total = sum(analytic.values())
+    bpp_analytic = analytic_total / pts_per_step
+    bound = HBM_GBPS * 1e9 / bpp_analytic
     bpp = adj_bytes / pts_per_step
-    bound = HBM_GBPS * 1e9 / bpp
     measured = args.rate
     if not measured:
         try:
@@ -134,33 +171,67 @@ def main():
         except Exception:
             measured = 0.0
 
+    # latency model: the measured anchor is ~6-8 ns per irregular-gather
+    # SOURCE LANE inside the compiled step (docs/ROUND3_NOTES.md) — count
+    # the dominant irregular source lanes per step
+    irregular_lanes = (
+        2 * w_cells            # label->slot + slot join gathers (window)
+        + args.cc_rounds * 2 * w_cells  # jump gathers inside the fixpoint
+        + 6 * 8192             # K-table scatters/gathers
+    )
+    irregular_ms = irregular_lanes * 7e-9 * 1000.0
+    step_ms_at_measured = (
+        pts_per_step / measured * 1000.0 if measured else None
+    )
+
     out = {
         "metric": "device_step_hbm_roofline",
         "platform_compiled_for": platform,
         "shape": {"rows": args.rows, "cols": args.cols, "batch": B,
                   "slab_w": pipe._slab_W, "slab_head": pipe._slab_W1},
-        "bytes_per_step_model": round(full_bytes),
-        "bytes_per_step_cc_adjusted": round(adj_bytes),
-        "cc_rounds_assumed": args.cc_rounds,
         "points_per_step": round(pts_per_step),
-        "bytes_per_point": round(bpp, 1),
         "hbm_gbps": HBM_GBPS,
+        "analytic_bytes_per_step": analytic_total,
+        "analytic_bytes_breakdown": {k: round(v) for k, v in analytic.items()},
+        "analytic_bytes_per_point": round(bpp_analytic, 1),
         "roofline_bound_pts_per_s": round(bound),
         "measured_pts_per_s": measured,
         "achieved_fraction_of_roofline": (
-            round(measured / bound, 3) if measured else None
+            round(measured / bound, 4) if measured else None
         ),
-        "stages": [
-            {k: (round(v) if isinstance(v, float) else v)
-             for k, v in r.items()} for r in rows
-        ],
-        "caveats": (
-            "bytes from XLA cost_analysis (model, not counters); while-loop "
-            "bodies counted once — the cc stage is scaled by cc_rounds; "
-            "irregular gathers additionally pay ~6-8 ns/source-lane latency "
-            "(docs/ROUND3_NOTES.md) that no bandwidth roofline captures, so "
-            "the achievable ceiling is below this bound"
-        ),
+        "latency_model": {
+            "irregular_source_lanes_per_step": round(irregular_lanes),
+            "irregular_cost_ms_at_7ns_per_lane": round(irregular_ms, 3),
+            "step_ms_implied_by_measured_rate": (
+                round(step_ms_at_measured, 3) if step_ms_at_measured else None
+            ),
+            "note": (
+                "the step is NOT bandwidth-bound: the analytic HBM bytes "
+                "support ~100x the measured rate.  The binding constraints "
+                "are irregular-op per-lane latency (~6-8 ns/source lane, "
+                "measured in-step, docs/ROUND3_NOTES.md) and the serial "
+                "round structure of the CC fixpoint + scan — which is why "
+                "the effective optimizations were round-count cuts "
+                "(hscan/vscan), op merging, and source shrinking, not "
+                "fusion"
+            ),
+        },
+        "cost_model_envelope": {
+            "bytes_per_step_unfused": round(full_bytes),
+            "bytes_per_step_cc_adjusted": round(adj_bytes),
+            "bytes_per_point_unfused": round(bpp, 1),
+            "cc_rounds_assumed": args.cc_rounds,
+            "stages": [
+                {k: (round(v) if isinstance(v, float) else v)
+                 for k, v in r.items()} for r in rows
+            ],
+            "note": (
+                "XLA cost_analysis counts producer/consumer traffic "
+                "UNFUSED (the vectorized edge-bits intermediates alone are "
+                "GBs that XLA:TPU never materializes) — an upper envelope "
+                "only; the analytic model above is the roofline basis"
+            ),
+        },
     }
     print(json.dumps(out, indent=1))
     if args.json:

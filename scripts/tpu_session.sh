@@ -86,4 +86,5 @@ tail -60 /tmp/trace_r5.out
 # 7. HBM roofline with the TPU compiler's own cost model (bytes/point vs
 #    819 GB/s), using the freshly-banked bench rate
 rate=$(python -c "import json;print(json.load(open('/tmp/bench_r5.json'))['value'])" 2>/dev/null || echo 0)
-timeout 1200 python scripts/roofline.py --rate "${rate:-0}" --json ROOFLINE_r5.json || true
+timeout 1800 python scripts/roofline.py --platform tpu --rate "${rate:-0}" --json ROOFLINE_r5.json \
+  || timeout 1800 python scripts/roofline.py --rate "${rate:-0}" --json ROOFLINE_r5.json || true
