@@ -34,6 +34,11 @@ from tpu_experiments_r4 import SCENES, make_scene_firings  # noqa: E402
 KNOBS = {
     "default(hs)": {"CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "-1"},
     "hs+vs": {"CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "0"},
+    # staggered: the column scan only from round N on — if the spike steps
+    # are the only ones needing it, this keeps their round cut while easy
+    # steps (which converge before round N) never pay the scan
+    "hs+vs@1": {"CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "1"},
+    "hs+vs@2": {"CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "2"},
     "vs_only": {"CCT_CC_HSCAN": "-1", "CCT_CC_VSCAN": "0"},
     "none": {"CCT_CC_HSCAN": "-1", "CCT_CC_VSCAN": "-1"},
 }

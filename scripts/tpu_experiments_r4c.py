@@ -33,6 +33,11 @@ KNOBS = {
     # + column scan from round 0
     "hsvs": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
              "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "0"},
+    # staggered: the column scan only from round 1 on (easy steps converge
+    # before paying it; per-knob gating is exact since the post(L, it)
+    # refactor — ADVICE r4)
+    "hsvs1": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "1", "CCT_CC_JUMP_AFTER": "1",
+              "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "1"},
     # both scans, jump-free: if the scans collapse enough, the jump's
     # gathers (~8 ms/rev in the r4 trace) can go entirely
     "hsvsj0": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
