@@ -521,3 +521,42 @@ def test_cc_nonconvergence_raises_distinct_error():
         pipe._consume_info(make_info(overflow=False, cc_failed=True))
     with pytest.raises(RuntimeError, match="overflow"):
         pipe._consume_info(make_info(overflow=True, cc_failed=False))
+
+
+def test_adaptive_slab_head_grows_and_stays_exact(monkeypatch):
+    """The adaptive slab head (VERDICT r4 missing #3): when the streamed
+    publish-window widths miss a deliberately-undersized head, the pipeline
+    grows the head at runtime (one re-jit) and emission output stays
+    identical to a run with the head pre-sized to the slab width."""
+    cfg = small_config(stop_after_association=False)
+    firings, poses = make_stream(num_frames=1, seed=5)
+    stream = [(f, p) for f, p in zip(firings, poses)] * 20  # ~90+ windows
+
+    def run(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        pipe = ContinuousClustering(cfg, firing_batch_size=48)
+        pipe.reset(NUM_ROWS)
+        pipe.set_transform_robot_frame_from_sensor_frame(np.eye(4))
+        labels = {}
+        def on_col(a, b, ground_only):
+            if ground_only:
+                return
+            cloud = pipe.get_columns(a, b)
+            valid = cloud["globally_unique_point_index"] != np.iinfo(np.uint64).max
+            for u, i in zip(cloud["globally_unique_point_index"][valid],
+                            cloud["id"][valid]):
+                labels[int(u)] = int(i)
+        pipe.set_finished_column_callback(on_col)
+        for f, p in stream:
+            pipe.add_firing(dict(f), p)
+        pipe.flush()
+        return pipe, labels
+
+    # undersized head (W=64, auto head 32 < typical window width) + adapt on
+    p_ad, l_ad = run({"CCT_SLAB_W": "64", "CCT_SLAB_ADAPT": "1"})
+    # same slab, head pre-sized to the full slab, no adaptation
+    p_ref, l_ref = run({"CCT_SLAB_W": "64", "CCT_SLAB_W1": "64",
+                        "CCT_SLAB_ADAPT": "0"})
+    assert p_ad._slab_W1 > 32, "adaptation never grew the undersized head"
+    assert l_ad == l_ref and len(l_ref) > 500
