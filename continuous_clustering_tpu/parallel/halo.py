@@ -112,13 +112,20 @@ def _repl_specs(tree, dp: bool):
 
 def halo_step_local(config: Config, state: RingState, block: ColumnBlock,
                     segp: SegPoses, hsg, batch_cols: int, nsp: int,
-                    ws_pad: int = 8):
+                    ws_pad: int = 8, slab_cols: int = 0, slab_head: int = 0):
     """One pipeline step on a column-sharded ring, from INSIDE shard_map.
 
     ``state``'s ring arrays are the local (R, rc/nsp) shard; all other
     fields are replicated.  Returns (new local state, StepInfo) — the
     StepInfo and the state's non-ring fields are replicated (identical on
     every shard by construction).
+
+    ``slab_cols``/``slab_head`` produce the publish slab exactly like the
+    single-device step: a SECOND masked psum assembles the post-step slab
+    window [fu_old, fu_old + slab_cols) on every shard and the unchanged
+    packed readout runs on it; the component-slot join tables ride the
+    meta vector as usual.  Two collectives per step with the slab on, one
+    without (vs GSPMD's 243).
     """
     cl = config.clustering
     H = cl.max_steps_in_row
@@ -192,12 +199,45 @@ def halo_step_local(config: Config, state: RingState, block: ColumnBlock,
         arr = jnp.where(cmask, jnp.asarray(CLEAR_VALUES[n], arr.dtype), arr)
         out_fields[n] = arr
 
+    if slab_cols:
+        # assemble the POST-step slab window on every shard (masked psum of
+        # the written+cleared local fields) and run the unchanged packed
+        # readout on a scratch ring, exactly like models.step._publish_slab
+        from ..models.step import META_FU_OLD, StepInfo, _publish_slab
+        from ..ops.readout import join_tables
+
+        WS2 = slab_cols + ws_pad
+        fu_old = info.meta[META_FU_OLD]
+        s0 = jnp.maximum(fu_old, 0)
+        t2 = jnp.arange(WS2, dtype=jnp.int32)
+        g2 = s0 + ((t2 - s0) % WS2)
+        l2 = g2 % rc
+        own2 = (l2 >= p * w) & (l2 < (p + 1) * w)
+        li2 = jnp.clip(l2 - p * w, 0, w - 1)
+        loc3 = jnp.stack([_to_i32(out_fields[n]) for n in CELL_FIELDS])
+        sw = jax.lax.psum(
+            jnp.where(own2[None, None, :], loc3[:, :, li2], 0), "sp"
+        )
+        slab_state = dataclasses.replace(win2, **{
+            n: _from_i32(sw[i], getattr(state, n).dtype)
+            for i, n in enumerate(CELL_FIELDS)
+        })
+        slab, slab_ext = _publish_slab(
+            config, slab_state, fu_old, slab_cols, slab_head
+        )
+        info = StepInfo(
+            meta=jnp.concatenate([info.meta, join_tables(win2).reshape(-1)]),
+            slab=slab, slab_ext=slab_ext,
+        )
+
     return dataclasses.replace(win2, **out_fields), info
 
 
 def make_halo_sharded_step(config: Config, mesh: Mesh, batch_cols: int,
-                           stacked: bool = False):
-    """Jitted column-sharded step via shard_map: ONE collective per step.
+                           stacked: bool = False,
+                           slab_cols: int = 0, slab_head: int = 0):
+    """Jitted column-sharded step via shard_map: ONE collective per step
+    (two with the publish slab on).
 
     (state, block, seg_poses, hsg) -> (state, info), with ring arrays
     placed P([dp,] None, 'sp') and everything else replicated over sp.
@@ -206,7 +246,8 @@ def make_halo_sharded_step(config: Config, mesh: Mesh, batch_cols: int,
     """
     nsp = mesh.shape["sp"]
     body = partial(
-        halo_step_local, config, batch_cols=batch_cols, nsp=nsp
+        halo_step_local, config, batch_cols=batch_cols, nsp=nsp,
+        slab_cols=slab_cols, slab_head=slab_head,
     )
     if stacked:
         body = jax.vmap(body)

@@ -163,3 +163,45 @@ def test_halo_sharded_stacked_dp():
         assert np.asarray(ref.cluster_counter) == np.asarray(
             s_sh.cluster_counter
         )[i]
+
+
+def test_halo_sharded_slab_matches_unsharded():
+    """The publish slab (head + tail + join tables riding meta) produced by
+    the halo path must equal the single-device step's, per step."""
+    num_rows, batch, nsp = 32, 55, 4
+    W, W1 = 128, 64
+    cfg = _cfg()
+    pipe, steps, hsg = _capture_stream(cfg, num_rows, batch, n_rev=2)
+    B = pipe._batch_B
+
+    step_fn = jax.jit(
+        lambda s, b, sp: pipeline_step_block(
+            cfg, s, b, sp, hsg, B, slab_cols=W, slab_head=W1
+        )
+    )
+    s_ref = pipe.state
+    infos_ref = []
+    for blk, sp in steps:
+        s_ref, info = step_fn(s_ref, blk, sp)
+        infos_ref.append(jax.tree_util.tree_map(np.asarray, info))
+
+    devs = np.array(jax.devices()[:nsp]).reshape(1, nsp)
+    mesh = Mesh(devs, axis_names=("dp", "sp"))
+    run = make_halo_sharded_step(cfg, mesh, B, slab_cols=W, slab_head=W1)
+    s_sh = place_state(mesh, pipe.state)
+    for k, (blk, sp) in enumerate(steps):
+        s_sh, info = run(s_sh, blk, sp, hsg)
+        ref = infos_ref[k]
+        np.testing.assert_array_equal(
+            ref.meta, np.asarray(info.meta), err_msg=f"meta+join step {k}"
+        )
+        np.testing.assert_array_equal(
+            ref.slab, np.asarray(info.slab), err_msg=f"slab head step {k}"
+        )
+        np.testing.assert_array_equal(
+            ref.slab_ext, np.asarray(info.slab_ext),
+            err_msg=f"slab tail step {k}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.distance), np.asarray(s_sh.distance)
+    )
