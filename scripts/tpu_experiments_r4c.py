@@ -60,7 +60,35 @@ KNOBS = {
 }
 
 
+def _already_measured(resume_path):
+    """(tag, scene) pairs already banked in a previous (possibly aborted)
+    run — the tunnel flaps, so the battery must be resumable across
+    windows (each result line prints immediately with flush)."""
+    done = set()
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "tag" in r and "scene" in r and "pts_per_s" in r:
+                    done.add((r["tag"], r["scene"]))
+    return done
+
+
 def main():
+    resume = sys.argv[1] if len(sys.argv) > 1 else ""
+    done = _already_measured(resume)
+    if done:
+        print(json.dumps({"resume": sorted(map(list, done))}), flush=True)
+    if len(done) >= len(KNOBS) * 3:
+        print(json.dumps({"status": "battery complete (resumed)"}), flush=True)
+        return 0
+
     ensure_backend()
     import jax
 
@@ -97,6 +125,8 @@ def main():
     for scene_name in scenes:
         pipe, scene, n_points = scenes[scene_name]
         for tag, env in KNOBS.items():
+            if (tag, scene_name) in done:
+                continue
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:

@@ -32,11 +32,12 @@ for i in $(seq 1 120); do
 done
 
 # link-health preamble: 5 trivial round trips (healthy ~25-30 ms/RT).
-# The tunnel FLAPS (it has passed a probe and died seconds later): abort
-# the whole session on any preamble failure so the watcher re-enters its
-# probe loop instead of burning every queue item against a dead tunnel.
+# The tunnel FLAPS per-process (memory: tpu-tunnel-flapping — one process
+# gets through, the next may not): retry the probe up to 8 times with
+# sleeps before giving the session up, so brief windows still bank items.
 probe_link() {
-  timeout 180 python - <<'EOF'
+  for a in 1 2 3 4 5 6 7 8; do
+    timeout 180 python - <<'EOF' && return 0
 import time, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "tpu")
 x = jnp.ones((8,))
@@ -46,14 +47,22 @@ for i in range(5):
     jax.block_until_ready(x + i)
     print(f"RT {i}: {(time.perf_counter()-t0)*1000:.1f} ms")
 EOF
+    echo "[session] probe_link attempt $a failed; retrying in 30s"
+    sleep 30
+  done
+  return 1
 }
 probe_link || exit 1
 
 # 1. vscan/unroll/nocond A/B battery (CPU rounds probe says hs+vs cuts CC
 #    rounds 21-33%; this prices the per-round scan cost on the chip).
-#    Skipped if already banked this round (tunnel windows are precious).
-if [ ! -s /tmp/battery_r4c.out ] || ! grep -q '"tag"' /tmp/battery_r4c.out; then
-  timeout 3600 python scripts/tpu_experiments_r4c.py 2>/tmp/battery_r4c.err | tee /tmp/battery_r4c.out
+#    RESUMABLE: already-banked (tag, scene) rows are skipped, so aborted
+#    windows accumulate toward the full matrix (21 rows = 7 tags x 3
+#    scenes; note between-session fixed-cost drift ~2-3% — prefer
+#    same-session rows when margins are thin).
+n_rows=$(grep -c '"pts_per_s"' /tmp/battery_r4c.out 2>/dev/null || echo 0)
+if [ "${n_rows:-0}" -lt 21 ]; then
+  timeout 3600 python scripts/tpu_experiments_r4c.py /tmp/battery_r4c.out 2>/tmp/battery_r4c.err | tee -a /tmp/battery_r4c.out
 fi
 
 # 2. apply the battery winner to everything that follows
