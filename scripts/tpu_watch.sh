@@ -11,16 +11,13 @@ n=0
 while true; do
   n=$((n+1))
   echo "[watch] probe $n $(date -u +%H:%M:%S)"
-  # tunnel FLAPS (memory: tpu-tunnel-flapping): require TWO consecutive
-  # successful probes in separate processes before trusting it
+  # tunnel FLAPS per-process (memory: tpu-tunnel-flapping): ONE successful
+  # probe launches the session — its own probe_link retries (8x30s) absorb
+  # flaps, so waiting for a second confirm here only burns brief windows
   if timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 assert jax.devices()[0].platform == 'tpu', jax.devices()
-print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" \
-  && sleep 10 && timeout 120 python -c "
-import jax, jax.numpy as jnp, numpy as np
-assert jax.devices()[0].platform == 'tpu', jax.devices()
-print('tunnel OK (confirm)', float(np.asarray(jnp.ones((8,8)).sum())))"; then
+print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))"; then
     echo "[watch] tunnel up after $n probes; starting session $(date -u +%H:%M:%S)"
     if bash scripts/tpu_session.sh 2>&1 | tee -a /tmp/tpu_session.log; then
       echo "[watch] SESSION DONE $(date -u +%H:%M:%S)"
