@@ -24,18 +24,27 @@ import jax, jax.numpy as jnp, numpy as np
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 
 # quiesce gate: never measure while CPU-heavy work runs on this (1-core) box
-# (check-only pgrep, no killing — CLAUDE.md forbids pattern kills)
-for i in $(seq 1 120); do
-  busy=$(pgrep -c -f "pytest|cc_rounds_probe|cmake|ninja" || true)
-  [ "${busy:-0}" -eq 0 ] && break
-  echo "[session] waiting for $busy CPU-heavy processes ($i)"; sleep 30
-done
+# (check-only pgrep, no killing — CLAUDE.md forbids pattern kills).
+# Called before EVERY measurement stage (inside probe_link), not just at
+# session start: the tunnel can recover hours in, and a pytest/build that
+# started meanwhile would silently pollute banked rows (the battery skips
+# already-banked rows forever, so polluted rows are sticky).
+quiesce() {
+  for i in $(seq 1 120); do
+    busy=$(pgrep -c -f "pytest|cc_rounds_probe|cmake|ninja|microbench" || true)
+    [ "${busy:-0}" -eq 0 ] && return 0
+    echo "[session] waiting for $busy CPU-heavy processes ($i)"; sleep 30
+  done
+  return 0
+}
+quiesce
 
 # link-health preamble: 5 trivial round trips (healthy ~25-30 ms/RT).
 # The tunnel FLAPS per-process (memory: tpu-tunnel-flapping — one process
 # gets through, the next may not): retry the probe up to 8 times with
 # sleeps before giving the session up, so brief windows still bank items.
 probe_link() {
+  quiesce
   for a in 1 2 3 4 5 6 7 8; do
     timeout 180 python - <<'EOF' && return 0
 import time, jax, jax.numpy as jnp
@@ -97,3 +106,10 @@ tail -60 /tmp/trace_r5.out
 rate=$(python -c "import json;print(json.load(open('/tmp/bench_r5.json'))['value'])" 2>/dev/null || echo 0)
 timeout 1800 python scripts/roofline.py --platform tpu --rate "${rate:-0}" --json ROOFLINE_r5.json \
   || timeout 1800 python scripts/roofline.py --rate "${rate:-0}" --json ROOFLINE_r5.json || true
+
+# 8. bank everything that still lives only in /tmp into the repo so a
+#    completed session persists even if nobody is watching
+cp -f /tmp/bench_r5.json /root/repo/BENCH_builder_r5.json 2>/dev/null || true
+cp -f /tmp/battery_r4c.out /root/repo/docs/battery_r4c_tpu.jsonl 2>/dev/null || true
+cp -f /tmp/trace_r5.out /root/repo/docs/trace_r5.txt 2>/dev/null || true
+echo "[session] all stages banked $(date -u +%H:%M:%S)"
