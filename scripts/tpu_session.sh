@@ -31,7 +31,7 @@ print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 # already-banked rows forever, so polluted rows are sticky).
 quiesce() {
   for i in $(seq 1 120); do
-    busy=$(pgrep -c -f "pytest|cc_rounds_probe|cmake|ninja|microbench" || true)
+    busy=$(pgrep -c -f "pytest|cc_rounds_probe|cmake|ninja|microbench|graft_entry|check_entry" || true)
     [ "${busy:-0}" -eq 0 ] && return 0
     echo "[session] waiting for $busy CPU-heavy processes ($i)"; sleep 30
   done
