@@ -48,7 +48,11 @@ probe_link() {
   for a in 1 2 3 4 5 6 7 8; do
     timeout 180 python - <<'EOF' && return 0
 import time, jax, jax.numpy as jnp
-jax.config.update("jax_platforms", "tpu")
+# UNFORCED init: forcing jax_platforms=tpu initializes the raw local TPU
+# plugin ("No jellyfish device found") on hosts where the chip is reached
+# through the axon tunnel; the tunnel registers itself as the default
+# backend, so let jax pick and assert what it found (2026-08-20 host).
+assert jax.devices()[0].platform == "tpu", jax.devices()
 x = jnp.ones((8,))
 jax.block_until_ready(x + 0)
 for i in range(5):
