@@ -23,6 +23,17 @@ timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))" || exit 1
 
+# preflight: the native C++ lib does NOT survive container migrations
+# (generated, not committed) and every measurement path asserts on it
+# (bench_setup.capture_revolution needs pipe._host_ins).  The build is a
+# fast no-op when current; bail out loudly if it cannot be produced.
+timeout 600 python -m continuous_clustering_tpu.native.build || exit 1
+python - <<'EOF' || exit 1
+from continuous_clustering_tpu import native
+assert native.available(), "native lib missing after build"
+print("[session] native lib preflight OK")
+EOF
+
 # quiesce gate: never measure while CPU-heavy work runs on this (1-core) box
 # (check-only pgrep, no killing — CLAUDE.md forbids pattern kills).
 # Called before EVERY measurement stage (inside probe_link), not just at
@@ -116,4 +127,34 @@ timeout 1800 python scripts/roofline.py --platform tpu --rate "${rate:-0}" --jso
 cp -f /tmp/bench_r5.json /root/repo/BENCH_builder_r5.json 2>/dev/null || true
 cp -f /tmp/battery_r4c.out /root/repo/docs/battery_r4c_tpu.jsonl 2>/dev/null || true
 cp -f /tmp/trace_r5.out /root/repo/docs/trace_r5.txt 2>/dev/null || true
-echo "[session] all stages banked $(date -u +%H:%M:%S)"
+
+# success means ARTIFACTS, not reaching the end of the script: the watcher
+# stops retrying on exit 0, so a hollow run (crashed battery/bench writing
+# empty files) must report failure and re-enter the probe loop.
+python - <<'EOF'
+import json, sys
+ok = True
+try:
+    with open("/tmp/bench_r5.json") as f:
+        b = json.load(f)
+    assert b.get("value", 0) > 0, "bench value missing"
+    print("[session] bench artifact OK:", b["value"])
+except Exception as e:
+    print("[session] bench artifact INVALID:", e); ok = False
+rows = 0
+try:
+    with open("/tmp/battery_r4c.out") as f:
+        rows = sum(1 for line in f if '"pts_per_s"' in line)
+except Exception:
+    pass
+print(f"[session] battery rows banked: {rows}/21")
+if rows < 21:
+    ok = False
+import os
+ok = ok and os.path.exists("/root/repo/CONTRACT_r5.json")
+print("[session] contract banked:", os.path.exists("/root/repo/CONTRACT_r5.json"))
+sys.exit(0 if ok else 1)
+EOF
+rc=$?
+echo "[session] all stages attempted $(date -u +%H:%M:%S), artifact-complete rc=$rc"
+exit $rc
