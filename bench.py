@@ -442,6 +442,18 @@ def _bench_streaming(cfg_pipe_factory, firings, n_points_per_rev):
 def main():
     from continuous_clustering_tpu.utils.platform import ensure_backend
 
+    # the native C++ lib is generated (not committed) and does not survive
+    # container migrations; every measurement path asserts on it — rebuild
+    # on demand so an unattended bench run cannot crash on a fresh host
+    from continuous_clustering_tpu import native
+
+    if not native.available():
+        subprocess.run(
+            [sys.executable, "-m", "continuous_clustering_tpu.native.build"],
+            check=True, timeout=600,
+        )
+        native.load()
+
     smoke = os.environ.get("CCT_BENCH_SMOKE") == "1"
     if smoke:
         # CI exercise of the perf path at tiny shape on CPU — the number is

@@ -624,13 +624,18 @@ class ContinuousClustering:
             width = max(gcol0 + n_cols, fu_new) - fu_old
             ws = self._recent_widths
             ws.append(width)
-            if len(ws) >= 64:
+            # first check after 32 windows: short streams at large B see few
+            # windows per revolution (53 in a 3-rev soak at B=128 — a
+            # 64-sample gate never fired and the head sat at a 0.5 hit rate,
+            # LATENCY_r5).  Growth covers p95 + margin rounded up to the TPU
+            # lane width (128); pow2 doubling overshot transfer bytes by up
+            # to 2x (B=128: p95 321 -> 512 where 384 suffices).
+            if len(ws) >= 32:
                 hits = sum(1 for v in ws if v <= self._slab_W1)
                 if hits < self._slab_hit_target * len(ws):
                     p95 = sorted(ws)[int(0.95 * len(ws))]
-                    new_w1 = min(self._slab_W, max(
-                        self._slab_W1 * 2, 1 << (p95 + 15).bit_length()
-                    ))
+                    want = max(p95 + 16, self._slab_W1 + 1)
+                    new_w1 = min(self._slab_W, (want + 127) // 128 * 128)
                     if new_w1 > self._slab_W1:
                         self._slab_W1 = new_w1
                         self._build_jit_steps()

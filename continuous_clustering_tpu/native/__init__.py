@@ -12,14 +12,16 @@ from pathlib import Path
 from typing import Optional
 
 _LIB: Optional[ctypes.CDLL] = None
-_TRIED = False
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    if _TRIED:
+    global _LIB
+    if _LIB is not None:
         return _LIB
-    _TRIED = True
+    # a failed probe is NOT cached: the lib is generated on demand (a fresh
+    # container starts without it; bench.py / the measurement session build
+    # it mid-process and re-call load()).  Consumers that got None fall back
+    # to pure Python and never re-enter this path per-call.
     here = Path(__file__).parent
     for cand in (here / "lib" / "libcct_native.so", here / "libcct_native.so"):
         if cand.exists():

@@ -184,13 +184,15 @@ def _hscan_after() -> int:
 
 
 def _vscan_after() -> int:
-    """CCT_CC_VSCAN: -1 = off (default); N >= 0 = run the column scan after
-    every sweep from round N on.  Off until a TPU battery shows the
-    ~log2(R)-step scan paying for the rounds it saves (CPU rounds probe
-    first, scripts/cc_rounds_probe.py)."""
+    """CCT_CC_VSCAN: -1 = off; N >= 0 = run the column scan after every
+    sweep from round N on.  Default ON from round 0 (round-5 chip battery
+    docs/battery_r4c_tpu.jsonl: composed with the row scan and CCT_CC_JUMP=0
+    it is the min-over-scenes winner, 6.26M vs 6.07M pts/s at the old
+    defaults; CPU rounds probe says the round-0 application is what
+    collapses columns early, docs/ROUND5_NOTES.md)."""
     import os as _os
 
-    return int(_os.environ.get("CCT_CC_VSCAN", "-1"))
+    return int(_os.environ.get("CCT_CC_VSCAN", "0"))
 
 
 def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):
@@ -500,8 +502,11 @@ def cc_converge(sweep_fn, R: int, WCOL: int, max_iters: int = 64,
 
     # pointer-doubling count per round (f stays position-indexed through
     # the hops); same knob as the Pallas driver so CPU probes of the
-    # cc_rounds meta lane predict the TPU knob's effect
-    n_jump = int(_os.environ.get("CCT_CC_JUMP", "1"))
+    # cc_rounds meta lane predict the TPU knob's effect.  Default OFF since
+    # the round-5 battery: with BOTH segmented scans on, the jump's
+    # window-scale gathers cost more than the rounds they save on every
+    # scene (docs/battery_r4c_tpu.jsonl, tag hsvsj0)
+    n_jump = int(_os.environ.get("CCT_CC_JUMP", "0"))
 
     def jump(L):
         f = L.reshape(-1)

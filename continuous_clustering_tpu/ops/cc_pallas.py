@@ -217,18 +217,14 @@ def window_cc_pallas(config: Config, bits: jax.Array, brev: jax.Array,
     # jump strength: number of f = f[f] applications per unconverged round.
     # Each application is a window-scale gather (~as expensive as a sweep
     # launch in-context), but compresses label chains geometrically.
-    # Round-4 defaults: jumps from the FIRST unconverged round
-    # (CCT_CC_JUMP_AFTER=0) with 2 applications — the scene battery showed
-    # deferred/jump-free settings losing 10% on the clutter and near-field
-    # scenes (many components => many rounds => compression pays), while
-    # the standard scene is within noise (see sweep_pallas docstring).
-    # Round-4 defaults (two valid-method TPU batteries, docs/ROUND4_NOTES.md):
-    # with the segmented row scan on, ONE deferred jump is the min-maximizer
-    # across the bench scenes — s1j1a1hs min-over-scenes 6.22M vs the old
-    # s1j2 default's 5.48M; jump-free (s1j0hs, 6.31M) ties within session
-    # noise but loses the chain-compression safety net for components the
-    # horizontal scan cannot collapse (vertical zigzags: the snake test).
-    n_jump = int(os.environ.get("CCT_CC_JUMP", "1"))
+    # Default history: round 4 shipped ONE deferred jump (s1j1a1hs 6.22M
+    # min-over-scenes vs the old s1j2's 5.48M, docs/ROUND4_NOTES.md); the
+    # round-5 battery composed the segmented COLUMN scan with the row scan
+    # and at that point jump-free wins outright (hsvsj0 6.26M vs hs 6.07M,
+    # docs/battery_r4c_tpu.jsonl) — chain compression for vertical zigzags
+    # now comes from the column scan itself (the snake test's shape), so
+    # the jump's gathers no longer buy rounds on any bench scene.
+    n_jump = int(os.environ.get("CCT_CC_JUMP", "0"))
     jump_after = int(os.environ.get("CCT_CC_JUMP_AFTER", "1"))
     # alternate the in-kernel dc iteration direction per round: zigzag
     # label chains collapse in about half the rounds at zero per-round

@@ -41,12 +41,18 @@ def run_latency(repo, B, smoke, out_name):
            "--batch", str(B), "--out", out_name]
     if smoke:
         cmd.append("--smoke")
-    p = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
-                       timeout=2400)
-    for line in reversed(p.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    sys.stderr.write(p.stderr[-1500:] + "\n")
+    for attempt in (1, 2):  # tunnel flaps per-process; retry once
+        try:
+            p = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                               timeout=2400)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"latency_batch": B, "timeout": True,
+                              "attempt": attempt}), flush=True)
+            continue
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        sys.stderr.write(p.stderr[-1500:] + "\n")
     return None
 
 
@@ -58,7 +64,20 @@ def main():
 
     sweep = []
     for B in (32, 64, 128, 192):
-        r = run_rate(repo, B, args.smoke)
+        # the tunnel flaps PER-PROCESS (a dead child hangs in
+        # block_until_ready until the 1500 s timeout): retry each point
+        # once and skip it on a second failure rather than aborting the
+        # whole contract (2026-08-20: a single B=32 hang killed the run)
+        r = None
+        for attempt in (1, 2):
+            try:
+                r = run_rate(repo, B, args.smoke)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"batch": B, "timeout": True,
+                                  "attempt": attempt}), flush=True)
+                r = None
+            if r:
+                break
         if r:
             sweep.append(r)
             print(json.dumps(r), flush=True)

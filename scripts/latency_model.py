@@ -204,7 +204,11 @@ def timed_consume(info):
     return r
 pipe2._consume_info = timed_consume
 pipe2._publish_trace = trace = []
-n_soak = 1 if smoke else 3
+# enough revolutions that the head can adapt (first check at 32 windows)
+# AND a steady-state tail remains: windows/rev = cols/batch, so large
+# batches need more revolutions (B=128 saw only 53 windows in 3 revs and
+# the head never grew — LATENCY_r5 head_hit 0.5)
+n_soak = 1 if smoke else max(3, -(-160 * batch // num_cols))
 for _ in range(n_soak):
     for f in firings:
         pipe2.add_firing(dict(f), np.eye(4))

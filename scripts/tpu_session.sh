@@ -84,29 +84,65 @@ probe_link || exit 1
 #    windows accumulate toward the full matrix (21 rows = 7 tags x 3
 #    scenes; note between-session fixed-cost drift ~2-3% — prefer
 #    same-session rows when margins are thin).
-n_rows=$(grep -c '"pts_per_s"' /tmp/battery_r4c.out 2>/dev/null || echo 0)
-if [ "${n_rows:-0}" -lt 21 ]; then
+# NB: grep -c prints "0" AND exits 1 on zero matches, so `|| echo 0`
+# would append a second line and break the -lt test (seen 2026-08-20:
+# battery silently skipped).  Capture the count, default only if empty.
+n_rows=$(grep -c '"pts_per_s"' /tmp/battery_r4c.out 2>/dev/null || true)
+n_rows=${n_rows:-0}
+if [ "$n_rows" -lt 21 ]; then
   timeout 3600 python scripts/tpu_experiments_r4c.py /tmp/battery_r4c.out 2>/tmp/battery_r4c.err | tee -a /tmp/battery_r4c.out
 fi
 
 # 2. apply the battery winner to everything that follows
+wtag=$(python scripts/pick_knobs.py --tag /tmp/battery_r4c.out 2>/dev/null || true)
 eval "$(python scripts/pick_knobs.py /tmp/battery_r4c.out)"
 env | grep CCT_ || true
+# defaults_win: the chip picked the shipped defaults (tag "hs") or nothing
+# was eligible — default-knob measurements already banked by an earlier
+# attempt of this queue are then still valid and need not be re-burned
+defaults_win=0
+{ [ -z "$wtag" ] || [ "$wtag" = hs ]; } && defaults_win=1
 
 # 3. headline bench at the winning knobs
-probe_link || exit 1
-timeout 2400 python bench.py > /tmp/bench_r5.json 2>/tmp/bench_r5.err
-cat /tmp/bench_r5.json
+if [ "$defaults_win" = 1 ] && [ -s /tmp/bench_r5.json ]; then
+  echo "[session] defaults won and bench banked; skipping bench re-run"
+else
+  probe_link || exit 1
+  timeout 2400 python bench.py > /tmp/bench_r5.json 2>/tmp/bench_r5.err
+  cat /tmp/bench_r5.json
+fi
 
 # 4. round-5 contract: >=5M throughput AND <10ms loaded local-attach p50
 #    from ONE config (B=128), plus the B=32 low-latency point; writes
-#    CONTRACT_r5.json + LATENCY_r5.json in-repo
-probe_link || exit 1
-if [ -f scripts/contract_r5.py ]; then
-  timeout 3600 python scripts/contract_r5.py 2>/tmp/contract_r5.err | tee /tmp/contract_r5.out
-else
-  timeout 3600 python scripts/contract_r4.py 2>/tmp/contract_r5.err | tee /tmp/contract_r5.out
+#    CONTRACT_r5.json + LATENCY_r5.json in-repo.  Re-run even when the
+#    defaults win UNLESS the banked contract already carries a steady
+#    head-hit >= 0.9 — the adaptive-head threshold fix (32-window check,
+#    lane-rounded growth) post-dates the first banked run, which sat at 0.5.
+need_contract=1
+if [ "$defaults_win" = 1 ]; then
+  if python - <<'EOF'
+import json, sys
+try:
+    d = json.load(open("/root/repo/CONTRACT_r5.json"))
+    cp = d.get("contract_point") or {}
+    ok = d.get("met") and (cp.get("head_hit_rate_steady") or 0) >= 0.9
+except Exception:
+    ok = False
+sys.exit(0 if ok else 1)
+EOF
+  then
+    need_contract=0
+    echo "[session] defaults won and contract banked with head_hit >= 0.9; skipping"
+  fi
 fi
+if [ "$need_contract" = 1 ]; then
+  probe_link || exit 1
+  timeout 4500 python scripts/contract_r5.py 2>/tmp/contract_r5.err | tee /tmp/contract_r5.out
+fi
+
+if [ "$defaults_win" = 1 ]; then
+  echo "[session] defaults won; keeping banked pallas/trace/roofline artifacts"
+else
 
 # 5. kernel parity + step time at the winning knobs
 probe_link || exit 1
@@ -122,11 +158,18 @@ rate=$(python -c "import json;print(json.load(open('/tmp/bench_r5.json'))['value
 timeout 1800 python scripts/roofline.py --platform tpu --rate "${rate:-0}" --json ROOFLINE_r5.json \
   || timeout 1800 python scripts/roofline.py --rate "${rate:-0}" --json ROOFLINE_r5.json || true
 
+fi  # end winner-dependent re-measurement block
+
 # 8. bank everything that still lives only in /tmp into the repo so a
-#    completed session persists even if nobody is watching
-cp -f /tmp/bench_r5.json /root/repo/BENCH_builder_r5.json 2>/dev/null || true
+#    completed session persists even if nobody is watching.  When the bench
+#    was NOT re-run this attempt (defaults won), keep the already-banked
+#    repo copy: the /tmp one may be from an attempt whose host-side stages
+#    were polluted by concurrent activity on this 1-core box.
+if [ "$defaults_win" != 1 ] || [ ! -s /root/repo/BENCH_builder_r5.json ]; then
+  cp -f /tmp/bench_r5.json /root/repo/BENCH_builder_r5.json 2>/dev/null || true
+  cp -f /tmp/trace_r5.out /root/repo/docs/trace_r5.txt 2>/dev/null || true
+fi
 cp -f /tmp/battery_r4c.out /root/repo/docs/battery_r4c_tpu.jsonl 2>/dev/null || true
-cp -f /tmp/trace_r5.out /root/repo/docs/trace_r5.txt 2>/dev/null || true
 
 # success means ARTIFACTS, not reaching the end of the script: the watcher
 # stops retrying on exit 0, so a hollow run (crashed battery/bench writing
