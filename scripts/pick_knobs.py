@@ -19,7 +19,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tpu_experiments_r4c import KNOBS  # noqa: E402
+from tpu_experiments_r4c import KNOBS as _KNOBS_R4C  # noqa: E402
+from tpu_experiments_r5b import KNOBS as _KNOBS_R5B  # noqa: E402
+
+# r5b compositions shadow same-named r4c tags (none overlap today except
+# the re-measured anchor hsvsj0, whose env is identical modulo the
+# explicit CCT_GSEG_UNROLL=1)
+KNOBS = {**_KNOBS_R4C, **_KNOBS_R5B}
 
 SCENES = {"standard", "near_field", "clutter"}
 
@@ -52,8 +58,16 @@ def pick(path):
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/battery_r4c.out"
+    argv = [a for a in sys.argv[1:] if a != "--tag"]
+    tag_only = "--tag" in sys.argv[1:]
+    path = argv[0] if argv else "/tmp/battery_r4c.out"
     best, best_min = pick(path)
+    if tag_only:
+        # bare winning tag for shell logic (empty = no eligible tag);
+        # the session uses this to skip re-measuring when the chip picked
+        # the shipped defaults ("hs") and default-knob artifacts are banked
+        print(best or "")
+        return 0
     if best is None:
         print("# pick_knobs: no eligible tag; keeping shipped defaults",
               file=sys.stderr)

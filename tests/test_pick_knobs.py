@@ -16,8 +16,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
 
-from pick_knobs import SCENES, pick  # noqa: E402
-from tpu_experiments_r4c import KNOBS  # noqa: E402
+from pick_knobs import KNOBS, SCENES, pick  # noqa: E402
 
 
 def _write(tmp_path, rows, extra_lines=()):
@@ -91,6 +90,13 @@ def test_missing_file_keeps_defaults(tmp_path):
 def test_empty_file_keeps_defaults(tmp_path):
     best, _ = pick(_write(tmp_path, []))
     assert best is None
+
+
+def test_r5b_composition_tag_eligible(tmp_path):
+    # the picker must see r5b composition tags (KNOBS is the r4c+r5b merge)
+    rows = _full_tag("hs", 5_000_000) + _full_tag("hsvsj0_u4", 6_000_000)
+    best, best_min = pick(_write(tmp_path, rows))
+    assert best == "hsvsj0_u4" and best_min == 6_000_000
 
 
 @pytest.mark.parametrize("tag", sorted(KNOBS))
