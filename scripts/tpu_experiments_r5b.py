@@ -47,6 +47,17 @@ KNOBS = {
     "hsvs1j0_u4": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
                    "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "1",
                    "CCT_GSEG_UNROLL": "4"},
+    # ---- wave 2 (after the first 4 ran): hsvs1j0_u4 won min-over-scenes
+    # 6.64M (+7.9% over the anchor).  Probe the remaining neighbors of the
+    # winner: u8 (beat u4 on 2/3 scenes in wave 1) and staggering the ROW
+    # scan too (the row scan also costs every round; round-0 may be cheap
+    # enough to skip on easy steps for the same reason vs@1 won).
+    "hsvs1j0_u8": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
+                   "CCT_CC_HSCAN": "0", "CCT_CC_VSCAN": "1",
+                   "CCT_GSEG_UNROLL": "8"},
+    "hs1vs1j0_u4": {"CCT_SWEEPS": "1", "CCT_CC_JUMP": "0",
+                    "CCT_CC_HSCAN": "1", "CCT_CC_VSCAN": "1",
+                    "CCT_GSEG_UNROLL": "4"},
 }
 
 
