@@ -21,11 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tpu_experiments_r4c import KNOBS as _KNOBS_R4C  # noqa: E402
 from tpu_experiments_r5b import KNOBS as _KNOBS_R5B  # noqa: E402
+from tpu_experiments_r5c import KNOBS as _KNOBS_R5C  # noqa: E402
 
-# r5b compositions shadow same-named r4c tags (none overlap today except
-# the re-measured anchor hsvsj0, whose env is identical modulo the
-# explicit CCT_GSEG_UNROLL=1)
-KNOBS = {**_KNOBS_R4C, **_KNOBS_R5B}
+# later batteries shadow same-named earlier tags (the only overlaps are
+# re-measured anchors/finalists with identical env)
+KNOBS = {**_KNOBS_R4C, **_KNOBS_R5B, **_KNOBS_R5C}
 
 SCENES = {"standard", "near_field", "clutter"}
 

@@ -78,12 +78,16 @@ def _already_measured(resume_path):
     return done
 
 
-def main():
-    resume = sys.argv[1] if len(sys.argv) > 1 else ""
+def run_battery(knobs, resume=""):
+    """Measure every (tag, scene) in ``knobs`` with ONE session calibration.
+
+    Shared by the r5b compositions and the r5c same-session confirm; rows
+    already present in ``resume`` are skipped (tunnel-flap resumability).
+    """
     done = _already_measured(resume)
     if done:
         print(json.dumps({"resume": sorted(map(list, done))}), flush=True)
-    if len(done) >= len(KNOBS) * 3:
+    if len(done) >= len(knobs) * 3:
         print(json.dumps({"status": "battery complete (resumed)"}), flush=True)
         return 0
 
@@ -122,7 +126,7 @@ def main():
 
     for scene_name in scenes:
         pipe, scene, n_points = scenes[scene_name]
-        for tag, env in KNOBS.items():
+        for tag, env in knobs.items():
             if (tag, scene_name) in done:
                 continue
             saved = {k: os.environ.get(k) for k in env}
@@ -145,6 +149,11 @@ def main():
                     else:
                         os.environ[k] = v
     return 0
+
+
+def main():
+    resume = sys.argv[1] if len(sys.argv) > 1 else ""
+    return run_battery(KNOBS, resume)
 
 
 if __name__ == "__main__":

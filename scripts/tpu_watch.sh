@@ -1,12 +1,14 @@
 #!/bin/bash
 # Tunnel watcher: probe the TPU tunnel in a bounded subprocess until it
-# answers, then bank the full queued measurement session (tpu_session.sh).
-# Run detached:  setsid nohup bash scripts/tpu_watch.sh > /tmp/tpu_watch.log 2>&1 &
+# answers, then bank the full queued measurement session ($1, default
+# tpu_session.sh).
+# Run detached:  setsid nohup bash scripts/tpu_watch.sh [session.sh] > /tmp/tpu_watch.log 2>&1 &
 # Stop:          kill $(cat /tmp/tpu_watch.pid)
 # ONE TPU process at a time (CLAUDE.md): do not run pytest/builds meanwhile.
 set -o pipefail  # the session|tee pipeline must report the SESSION's status
 echo $$ > /tmp/tpu_watch.pid
 cd /root/repo
+SESSION=${1:-scripts/tpu_session.sh}
 n=0
 while true; do
   n=$((n+1))
@@ -19,7 +21,7 @@ import jax, jax.numpy as jnp, numpy as np
 assert jax.devices()[0].platform == 'tpu', jax.devices()
 print('tunnel OK', float(np.asarray(jnp.ones((8,8)).sum())))"; then
     echo "[watch] tunnel up after $n probes; starting session $(date -u +%H:%M:%S)"
-    if bash scripts/tpu_session.sh 2>&1 | tee -a /tmp/tpu_session.log; then
+    if bash "$SESSION" 2>&1 | tee -a /tmp/tpu_session.log; then
       echo "[watch] SESSION DONE $(date -u +%H:%M:%S)"
       break
     fi
