@@ -352,16 +352,24 @@ def _bench_overlap(cfg, num_rows, firings, num_cols, batch_B, extras,
     host_rev()  # warm (allocations, ring growth)
     K = 2
     t0 = time.perf_counter()
+    c0 = time.process_time()
     for _ in range(K * N):
         host_rev()
     t_host = (time.perf_counter() - t0) / (K * N)
+    cpu_host = (time.process_time() - c0) / (K * N)
 
     int(np.asarray(state.first_unpublished))
     t0 = time.perf_counter()
+    c0 = time.process_time()
     for _ in range(K):
         dev_call()
     int(np.asarray(state.first_unpublished))
     t_dev = (time.perf_counter() - t0) / (K * N)
+    # host CPU the device leg itself consumes (dispatch + the device
+    # runtime's client thread — on a remote tunnel the RPC serialization
+    # is real host work): on a 1-core box it serializes with the host
+    # stages, so the composition law must include it
+    cpu_dev = (time.process_time() - c0) / (K * N)
 
     t0 = time.perf_counter()
     for _ in range(K):
@@ -383,9 +391,11 @@ def _bench_overlap(cfg, num_rows, firings, num_cols, batch_B, extras,
         emit_replay, emit_pts = emit
         emit_replay()  # rewarm caches after the other probes
         t0 = time.perf_counter()
+        c0 = time.process_time()
         for _ in range(K * N):
             emit_replay()
         t_emit = (time.perf_counter() - t0) / (K * N)
+        cpu_emit = (time.process_time() - c0) / (K * N)
 
         # all three stages concurrently: device scan in flight (async
         # dispatch), insertion + emit replay interleave on the host
@@ -399,12 +409,22 @@ def _bench_overlap(cfg, num_rows, firings, num_cols, batch_B, extras,
         t_all = (time.perf_counter() - t0) / (K * N)
 
         nproc = os.cpu_count() or 1
+        # composition law: wall >= device wall, and wall >= the host CPU
+        # the cores must serve.  With one core EVERY stage's host CPU
+        # serializes — including the device leg's own dispatch/runtime
+        # CPU (cpu_dev, measured above) — so the 1-core expectation is
+        # max(t_dev, cpu_dev + cpu_host + cpu_emit), all measured.
         expected = (
             max(t_dev, t_host, t_emit) if nproc >= 3
-            else max(t_dev, t_host + t_emit)
+            else max(t_dev, cpu_dev + cpu_host + cpu_emit)
         )
         out.update({
             "emit_ms_per_rev": round(t_emit * 1000, 2),
+            "host_cpu_ms_per_rev": {
+                "device_leg": round(cpu_dev * 1000, 2),
+                "insertion": round(cpu_host * 1000, 2),
+                "emit": round(cpu_emit * 1000, 2),
+            },
             "all3_ms_per_rev": round(t_all * 1000, 2),
             "all3_expected_ms_per_rev": round(expected * 1000, 2),
             "all3_sustained_pts_per_s": round(n_points_per_rev / t_all, 1),
@@ -414,7 +434,9 @@ def _bench_overlap(cfg, num_rows, firings, num_cols, batch_B, extras,
                 f"nproc={nproc}: "
                 + ("max(dev, host, emit) — one core per host stage"
                    if nproc >= 3 else
-                   "max(dev, host+emit) — host stages share one core")
+                   "max(dev wall, sum of per-stage host CPU) — one core "
+                   "serves every stage's host work, device-leg dispatch "
+                   "CPU included")
             ),
         })
     return out
@@ -590,8 +612,10 @@ def main():
 
     # measured host/device overlap (the headline composition's premise);
     # three-stage: insertion + device scan + emit replay run concurrently
-    # (VERDICT r4 weak #2 — the last headline inference, now measured)
-    if extras_std is not None and not smoke:
+    # (VERDICT r4 weak #2 — the last headline inference, now measured).
+    # Smoke runs it too when the native lib is present (HostInsertion is
+    # its host leg) so CI exercises the concurrency code path.
+    if extras_std is not None and (not smoke or pipe._host_ins is not None):
         out["overlap"] = _bench_overlap(
             cfg, num_rows, firings_std, num_cols, batch_B, extras_std,
             emit=(emit_replay, emit_pts), n_points_per_rev=n_std,

@@ -112,6 +112,13 @@ def main():
             "p50_modeled_local_attach_loaded_ms"
         )
 
+    def loaded_p95_steady(lat):
+        if lat is None:
+            return None
+        return lat.get("loaded_soak", {}).get(
+            "p95_modeled_local_attach_loaded_steady_ms"
+        )
+
     out = {
         "metric": "contract_throughput_and_loaded_latency_single_config",
         "throughput_target": BASELINE,
@@ -137,6 +144,8 @@ def main():
             "latency_p50_ms_modeled_local_attach": lat_con and lat_con[
                 "p50_modeled_local_attach_ms"],
             "latency_p50_ms_modeled_local_attach_loaded": loaded_local(lat_con),
+            "latency_p95_ms_modeled_local_attach_loaded_steady":
+                loaded_p95_steady(lat_con),
             "head_hit_rate_steady": lat_con and lat_con.get(
                 "loaded_soak", {}).get("head_hit_rate_steady"),
         },
