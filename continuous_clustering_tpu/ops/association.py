@@ -185,14 +185,15 @@ def _hscan_after() -> int:
 
 def _vscan_after() -> int:
     """CCT_CC_VSCAN: -1 = off; N >= 0 = run the column scan after every
-    sweep from round N on.  Default ON from round 0 (round-5 chip battery
-    docs/battery_r4c_tpu.jsonl: composed with the row scan and CCT_CC_JUMP=0
-    it is the min-over-scenes winner, 6.26M vs 6.07M pts/s at the old
-    defaults; CPU rounds probe says the round-0 application is what
-    collapses columns early, docs/ROUND5_NOTES.md)."""
+    sweep from round N on.  Default STAGGERED to round 1 (r5b chip battery
+    docs/battery_r5b_tpu.jsonl: on top of the row scan + CCT_CC_JUMP=0,
+    vs@1 beats vs@0 on every scene same-session — clutter 6.83M vs 6.42M,
+    min-over-scenes 6.64M vs 6.42M — because the easy round-0 pass skips
+    the scan's cost while the hard rounds still collapse columns; the ROW
+    scan must stay at round 0, hs@1 loses, docs/ROUND5_NOTES.md)."""
     import os as _os
 
-    return int(_os.environ.get("CCT_CC_VSCAN", "0"))
+    return int(_os.environ.get("CCT_CC_VSCAN", "1"))
 
 
 def _hscan_post(config: Config, bits: jax.Array, R: int, H: int):

@@ -60,10 +60,13 @@ def _gseg_unroll() -> int:
     body is small; TPU while-loop machinery charges a fixed cost per
     iteration, so unrolling amortizes it U-fold and lets XLA fuse
     consecutive rows (exact — unroll changes loop structure, not math).
-    Default 1 until a TPU battery prices it (scripts/tpu_experiments_r4c)."""
+    Default 4: the r5b chip battery (docs/battery_r5b_tpu.jsonl) shows
+    unroll composes with the CC schedule, +4-5% on every scene (u4 vs u1
+    same-session: standard 8.19M vs 7.88M, clutter 6.42M vs 6.15M); u8 is
+    within noise of u4."""
     import os
 
-    return max(1, int(os.environ.get("CCT_GSEG_UNROLL", "1")))
+    return max(1, int(os.environ.get("CCT_GSEG_UNROLL", "4")))
 
 
 class SegmentInputs(NamedTuple):
